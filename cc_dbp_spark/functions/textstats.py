@@ -1,0 +1,109 @@
+"""Text analysis for large-scale training-data pipelines — all native
+``pyspark.sql.functions`` column expressions (JVM-side, codegen; zero
+Python in the plan), designed over a ``documents(doc_id, text, lang,
+source, n_chars)`` table.
+
+Reference analogues: language filter (``corpus/.../LanguageScorer.java:41-76``,
+keep P(lang) >= 0.8), sentence/char bounds (``CreateTsvDataset.java:167-170``),
+word counting (``GatherRelexVocab.java:131-138``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword langid heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "von", "ein", "eine", "ist"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex token count: words, numbers, and single punctuation
+    marks counted separately (approximates subword tokenizer pre-split)."""
+    toks = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(toks).cast("bigint")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space chars that are punctuation."""
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]+", ""))
+    return F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of `lang`."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + low punctuation +
+    healthy mean word length. Same shape as the reference's bounds
+    filters (chars in [2,400] per sentence, CreateTsvDataset.java:167-170)."""
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 10000), 1.0).when(n > 0, 0.5).otherwise(0.0)
+    toks = token_count(text)
+    mean_wl = F.when(toks > 0, n.cast("double") / toks).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    p_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    return ((len_ok + wl_ok + p_ok) / 3.0).alias("quality")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over {en,fr,es,de}, 'und' when no vote.
+    Deterministic tie-break: language name ascending."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(s["hits"].alias("hits"), F.lit(-i).alias("ord"), s["lang"].alias("lang"))
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercase text (md5 exists in both Spark and
+    DuckDB, so the oracle can reproduce it)."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Min-of-rolling-hashes fingerprint: min over xxhash64 of each
+    `window`-token shingle (content-defined; robust to reordering at the
+    edges). Returns bigint; null for texts shorter than the window."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - window)
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.when(n >= window, F.array_min(shingles)).otherwise(F.lit(None).cast("bigint"))

@@ -1,0 +1,332 @@
+"""Deduplication operators for web-scale corpora over a
+``documents(doc_id, text, ...)`` table.
+
+Exact dedup is a hash groupBy (Catalyst partial-agg, shuffle on the
+digest — uniform keys, no skew). Near-dup families (MinHash+LSH,
+SimHash, n-gram Jaccard) follow the standard shingle->sketch->band->
+bucket-join construction; all sketch math is numpy inside Arrow UDFs,
+all joins/groupBys are DataFrame ops so they scale by partitioning.
+
+Reference analogue: per-group dedup by uniqueness string
+(``RelexTsvDataset.java:229-249``, dedupe before grouping per SURVEY
+A4 note) — generalized here to whole-document content identity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_text(text):
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalization).
+
+    Returns (fp, n_dups, keeper, dup_ids): one row per content with >1
+    copy; keeper = min id (first occurrence wins, like the seen set).
+    """
+    fp = F.md5(_norm_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized content (min id wins). Window-based so
+    all original columns survive."""
+    fp = F.md5(_norm_text(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingles_col(text, k: int = 3):
+    """Word k-gram shingles (array<string>) of normalized text."""
+    toks = F.split(_norm_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))),
+    ).otherwise(F.array(_norm_text(text)))
+
+
+# ------------------------------------------------------------------ MinHash
+
+def _minhash_params(num_hashes: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig array<bigint>): MinHash signature over word-k-gram shingles.
+
+    Shingle hashing is Spark xxhash64 (JVM); the num_hashes permutations
+    ((a*x+b) mod p, min per row) are one numpy matrix op per Arrow batch.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+    p = np.uint64((1 << 61) - 1)
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in hashes:
+                if arr is None or len(arr) == 0:
+                    out.append(np.zeros(num_hashes, dtype=np.int64))
+                    continue
+                x = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
+                vals = (x * a[None, :] + b[None, :]) % p
+                out.append(vals.min(axis=0).view(np.int64))
+        return pd.Series(out)
+
+    sh = shingles_col(F.col(text_col), k)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    return docs.select(F.col(id_col), mh(hashed).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: pairs sharing >=1 band bucket. Returns (id_a, id_b,
+    n_shared_bands). Classic band->bucket->self-join; the join key is
+    (band, hash-of-rows) so co-bucketed docs collide in the shuffle."""
+    assert bands * rows_per_band <= 1024
+    b = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+                            ],
+                        )
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_similarity(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature slots per pair."""
+    s1 = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    s2 = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(s1, "id_a").join(s2, "id_b")
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return j.withColumn(
+        "est_jaccard", F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.size("sig_a")
+    ).select("id_a", "id_b", "n_shared_bands", "est_jaccard")
+
+
+# ------------------------------------------------------------------ SimHash
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, simhash bigint): 64-bit SimHash over shingle xxhash64 values —
+    majority vote per bit, numpy-vectorized per Arrow batch."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def sh(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = (x[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 >= len(x)
+            val = np.uint64(0)
+            for bi in np.where(votes)[0]:
+                val |= np.uint64(1) << np.uint64(bi)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    shingled = F.transform(shingles_col(F.col(text_col), k), lambda s: F.xxhash64(s))
+    return docs.select(F.col(id_col), sh(shingled).alias("simhash"))
+
+
+def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, via the
+    block-rotation trick: split 64 bits into (max_hamming+1) blocks; any
+    pair within distance shares >=1 exact block -> equi-join per block,
+    then exact popcount filter. No cartesian product."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = []
+    for i in range(nblocks):
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        mask = (1 << width) - 1 if i < nblocks - 1 else (1 << (64 - i * width)) - 1
+        blocks.append(shifted.bitwiseAND(F.lit(mask)).alias(f"b{i}"))
+    withb = sim.select(F.col(id_col), F.col("simhash"), *blocks)
+    pairs = None
+    for i in range(nblocks):
+        l, r = withb.alias("l"), withb.alias("r")
+        cand = l.join(
+            r,
+            (F.col(f"l.b{i}") == F.col(f"r.b{i}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs over `threshold`,
+    via shingle explode + equi-join on shingle (inverted index — never a
+    cartesian product) + |A∩B| / (|A|+|B|-|A∩B|).
+
+    SQL-expressible end-to-end -> serves as the DuckDB-checkable oracle
+    for the MinHash estimate.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------- embedding cosine near-dup
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Scale path: random-hyperplane LSH bucket (numpy matmul per Arrow
+    batch) -> equi-join within bucket -> exact cosine confirm (native
+    zip_with/aggregate). High-cosine pairs collide with high probability;
+    the exact filter keeps precision 1.0.
+    """
+    from pyspark.sql.types import LongType
+
+    rng = np.random.default_rng(seed)
+
+    def mk_bucket_udf(dim: int):
+        planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+        @F.pandas_udf(LongType())
+        def bucket(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            signs = (m @ planes) > 0
+            powers = (1 << np.arange(n_planes, dtype=np.int64))
+            return pd.Series((signs * powers).sum(axis=1).astype(np.int64))
+
+        return bucket
+
+    dim = len(emb.select(vec_col).first()[0])
+    bucket_udf = mk_bucket_udf(dim)
+    b = emb.select(F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+
+    l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .withColumn("cosine", dot / (norm("l") * norm("r")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,233 @@
+"""Partitioned approximate-membership filters (bloom + cuckoo) for the
+URL-seen set, built and probed inside Arrow-vectorized UDFs.
+
+The reference's membership test is an exact in-memory ``Set.contains``
+(``kbp/.../CreateTsvDataset.java:64,172-175``); at 10^10 URLs that
+becomes a partitioned filter + exact confirm:
+
+* filters PRUNE: "definitely new" URLs skip the expensive anti-join
+  against the seen table; "maybe seen" URLs go through the exact
+  anti-join, so false positives can never corrupt the seen set
+  (SURVEY.md §7 risk note — filters advisory, decision exact).
+* state: one row per hash partition ``(pid, bitmap binary)``,
+  snapshotted to parquet each round -> resumable.
+
+All probe/build math is numpy over int64 ``xxhash64(url)`` columns —
+no per-row Python. At cluster scale the probe runs as a cogrouped
+``applyInPandas`` so each partition's bitmap is shipped once per
+candidate partition, never broadcast whole.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+_MIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _h2(h: np.ndarray) -> np.ndarray:
+    """Second hash derived from the primary via a 64-bit finalizer mix."""
+    x = h.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= _MIX
+    x ^= x >> np.uint64(33)
+    return x
+
+
+class BloomSpec:
+    """Sizing for a partitioned bloom filter."""
+
+    def __init__(self, capacity: int, fpr: float = 0.01, num_partitions: int = 16):
+        self.num_partitions = num_partitions
+        per_part = max(1024, capacity // num_partitions)
+        bits = int(-per_part * math.log(fpr) / (math.log(2) ** 2))
+        self.bits_per_partition = 1 << max(13, (bits - 1).bit_length())
+        self.num_hashes = max(1, round(self.bits_per_partition / per_part * math.log(2)))
+
+    def partition_of(self, hashes: np.ndarray) -> np.ndarray:
+        return (hashes.astype(np.uint64) % np.uint64(self.num_partitions)).astype(np.int32)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions within a partition's bitmap."""
+        h1 = hashes.astype(np.uint64)
+        h2 = _h2(h1) | np.uint64(1)
+        i = np.arange(self.num_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.bits_per_partition)
+        return pos
+
+    def build_bitmap(self, hashes: np.ndarray) -> bytes:
+        """Bitmap bytes for ONE partition from its member hashes."""
+        bits = np.zeros(self.bits_per_partition // 8, dtype=np.uint8)
+        if len(hashes):
+            pos = self._positions(np.asarray(hashes, dtype=np.int64)).ravel()
+            np.bitwise_or.at(bits, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
+        return bits.tobytes()
+
+    def probe(self, hashes: np.ndarray, bitmap: bytes) -> np.ndarray:
+        """Boolean 'maybe seen' per hash against ONE partition bitmap."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        bits = np.frombuffer(bitmap, dtype=np.uint8)
+        pos = self._positions(np.asarray(hashes, dtype=np.int64))
+        hit = (bits[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1
+        return hit.all(axis=1).astype(bool)
+
+
+def build_bloom_df(seen_df, spec: BloomSpec, hash_col: str = "url_hash"):
+    """Distributed bloom build: groupBy(pid) -> one bitmap row per partition.
+
+    Returns DataFrame (pid int, bitmap binary). Partitions with no members
+    are absent (probe treats absent as all-miss).
+    """
+    from pyspark.sql import functions as F
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = spec.build_bitmap(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"pid": [key[0]], "bitmap": [bm]})
+
+    with_pid = seen_df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(spec.num_partitions)).cast("int")
+    )
+    return with_pid.groupBy("pid").applyInPandas(_build, "pid int, bitmap binary")
+
+
+def prune_with_bloom(candidates_df, bloom_df, spec: BloomSpec, hash_col: str = "url_hash"):
+    """Split candidates into (definitely_new, maybe_seen) via cogrouped probe.
+
+    Scale path: each partition's bitmap meets its candidate group exactly
+    once (cogroup on pid) — no whole-filter broadcast, no shuffle of the
+    seen table itself.
+    """
+    from pyspark.sql import functions as F
+
+    cols = candidates_df.columns
+    cand = candidates_df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(spec.num_partitions)).cast("int")
+    )
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields)
+    out_schema += ", maybe_seen boolean"
+
+    def _probe(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(bloom_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            maybe = spec.probe(
+                cand_pdf[hash_col].to_numpy(dtype=np.int64), bloom_pdf["bitmap"].iloc[0]
+            )
+        return cand_pdf.assign(maybe_seen=maybe)
+
+    probed = (
+        cand.groupBy("pid")
+        .cogroup(bloom_df.groupBy("pid"))
+        .applyInPandas(_probe, out_schema)
+    )
+    new = probed.filter(~F.col("maybe_seen")).select(*cols)
+    maybe = probed.filter(F.col("maybe_seen")).select(*cols)
+    return new, maybe
+
+
+# ------------------------------------------------------------------ cuckoo
+
+class CuckooFilter:
+    """Single-partition cuckoo filter (bucketed 16-bit fingerprints,
+    4 slots/bucket) — numpy state, supports delete; used as the
+    alternate/deletable seen-filter backend. Advisory only, like bloom.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 7):
+        nbuckets = 1 << max(4, (capacity // self.SLOTS).bit_length())
+        self.nbuckets = nbuckets
+        self.table = np.zeros((nbuckets, self.SLOTS), dtype=np.uint16)
+        self.rng = np.random.default_rng(seed)
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(self.nbuckets)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            alt = i1.astype(np.uint64) ^ (fp.astype(np.uint64) * _MIX)
+        return (alt % np.uint64(self.nbuckets)).astype(np.int64)
+
+    def insert(self, hashes: np.ndarray) -> int:
+        """Insert; returns count of failed (table-full) insertions."""
+        h = np.asarray(hashes, dtype=np.int64)
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        failed = 0
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            if self._try_put(i1, fp) or self._try_put(i2, fp):
+                continue
+            # kick
+            i = int(i1 if self.rng.integers(2) else i2)
+            cur = np.uint16(fp)
+            ok = False
+            for _ in range(self.MAX_KICKS):
+                slot = int(self.rng.integers(self.SLOTS))
+                cur, self.table[i, slot] = self.table[i, slot], cur
+                i = int(self._i2(np.array([i]), np.array([cur]))[0])
+                if self._try_put(i, cur):
+                    ok = True
+                    break
+            if not ok:
+                failed += 1
+        return failed
+
+    def _try_put(self, bucket: int, fp: np.uint16) -> bool:
+        row = self.table[bucket]
+        empty = np.where(row == 0)[0]
+        if len(empty):
+            self.table[bucket, empty[0]] = fp
+            return True
+        return False
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.int64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        in1 = (self.table[i1s] == fps[:, None]).any(axis=1)
+        in2 = (self.table[i2s] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Best-effort delete; returns bool per hash (found & removed)."""
+        h = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        fps, i1s = self._fp(h), self._i1(h)
+        i2s = self._i2(i1s, fps)
+        for n, (fp, i1, i2) in enumerate(zip(fps, i1s, i2s)):
+            for b in (i1, i2):
+                idx = np.where(self.table[b] == fp)[0]
+                if len(idx):
+                    self.table[b, idx[0]] = 0
+                    out[n] = True
+                    break
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, seed: int = 7) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+        obj = cls.__new__(cls)
+        obj.nbuckets = table.shape[0]
+        obj.table = table
+        obj.rng = np.random.default_rng(seed)
+        return obj

@@ -1,0 +1,497 @@
+"""URL-frontier + fetch scheduler — one scheduling round as one
+declarative DataFrame job (the north-rule pipeline):
+
+    canonicalize -> membership-test -> dedupe -> politeness-bucket
+    -> top-k per host -> fetch batch -> outlinks -> state update
+
+Semantics are defined by the pure-Python oracle
+(:mod:`cc_dbp_spark.oracle.scheduler`); differential tests assert the
+schedule order, seen set, and emitted span sequences match exactly.
+
+Scale design (10^10-URL frontier, SURVEY.md §7):
+* everything is DataFrame ops — scans prune columns, filters push down,
+  joins are broadcast where one side is per-host metadata;
+* the seen-set membership test is bloom-pruned (cogrouped partitioned
+  bitmaps, :mod:`.filters`) with an exact left-anti join confirming the
+  "maybe" subset, so the decision stays exact;
+* per-host top-k uses two-phase salted windows for hot hosts — the
+  reference's gsplits skew pattern (detect ``RelexTsvDataset.java:100-118``,
+  salt D5 ``RelexMention.java:127-132``) applied to hosts, because AQE
+  does not fix skewed window/collect groups;
+* per-round state (frontier/seen/credit/audit) checkpoints to parquet
+  snapshots -> resumable from any round (the reference's output-exists
+  resume, ``spark/.../RelexBuildDataset.java:72-93``).
+
+Python appears only in Arrow-vectorized UDFs (priority kernel, parity
+draws); every other expression is JVM/codegen.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from cc_dbp_spark.functions import parity
+from cc_dbp_spark.functions.priority import priority_score
+from cc_dbp_spark.functions.urlnorm import canonicalize_col, host_col, path_col
+from cc_dbp_spark.operators import filters as flt
+
+
+@dataclasses.dataclass
+class CrawlConfig:
+    round_budget_s: float = 10.0
+    default_crawl_delay_s: float = 1.0
+    max_rounds: int = 10
+    use_bloom: bool = True
+    bloom_capacity: int = 1 << 20
+    bloom_fpr: float = 0.01
+    bloom_partitions: int = 16
+    hot_host_threshold: int = 10_000  # counts above this get salted top-k
+    hot_host_cap: int = 5_000  # target rows per salt split
+
+
+FRONTIER_SCHEMA = "url string, host string, depth int, link_count bigint, round_added int"
+SEEN_SCHEMA = "url string, url_hash bigint, round_seen int"
+CREDIT_SCHEMA = "host string, credit double"
+CAND_SCHEMA = "url string, depth int"
+
+
+_udf_cache: dict[str, object] = {}
+
+
+def _priority_udf():
+    if "priority" not in _udf_cache:
+        @F.pandas_udf(DoubleType())
+        def fn(depth: pd.Series, link_count: pd.Series) -> pd.Series:
+            return pd.Series(priority_score(depth.to_numpy(), link_count.to_numpy()))
+
+        _udf_cache["priority"] = fn
+    return _udf_cache["priority"]
+
+
+def _tie_udf():
+    if "tie" not in _udf_cache:
+        @F.pandas_udf(DoubleType())
+        def fn(url: pd.Series) -> pd.Series:
+            return pd.Series(parity.pseudo_random_from_string(url.fillna("")))
+
+        _udf_cache["tie"] = fn
+    return _udf_cache["tie"]
+
+
+def _salt_udf():
+    if "salt" not in _udf_cache:
+        from pyspark.sql.types import IntegerType
+
+        @F.pandas_udf(IntegerType())
+        def fn(url: pd.Series, num_splits: pd.Series) -> pd.Series:
+            out = parity.group_salt(url.fillna(""), num_splits.to_numpy(dtype=np.int64))
+            return pd.Series(out.astype(np.int32))
+
+        _udf_cache["salt"] = fn
+    return _udf_cache["salt"]
+
+
+def empty_state(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "frontier": spark.createDataFrame([], FRONTIER_SCHEMA),
+        "seen": spark.createDataFrame([], SEEN_SCHEMA),
+        "credit": spark.createDataFrame([], CREDIT_SCHEMA),
+    }
+
+
+def _merge_candidates(
+    candidates: DataFrame,
+    frontier: DataFrame,
+    seen: DataFrame,
+    rnd: int,
+    cfg: CrawlConfig,
+    seen_nonempty: bool | None = None,
+) -> DataFrame:
+    """canonicalize + aggregate + seen-prune + merge into frontier."""
+    canon = candidates.select(canonicalize_col(F.col("url")).alias("url"), "depth")
+    lc = F.lit(0).cast("bigint") if rnd == 0 else F.count("*").cast("bigint")
+    agg = canon.groupBy("url").agg(F.min("depth").alias("depth"), lc.alias("link_count"))
+    agg = agg.withColumn("url_hash", F.xxhash64(F.col("url")))
+
+    if seen_nonempty is None:
+        seen_nonempty = not seen.isEmpty()
+    # membership test: bloom prunes, exact anti-join confirms
+    if cfg.use_bloom and seen_nonempty:
+        spec = flt.BloomSpec(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions)
+        bloom = build_bloom(seen, spec)
+        definitely_new, maybe = flt.prune_with_bloom(agg, bloom, spec)
+        confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
+        new_urls = definitely_new.unionByName(confirmed_new)
+    else:
+        new_urls = agg.join(seen.select("url"), "url", "left_anti")
+    new_urls = new_urls.drop("url_hash")
+
+    merged = (
+        frontier.select("url", "depth", "link_count", "round_added")
+        .alias("f")
+        .join(new_urls.alias("a"), "url", "full_outer")
+        .select(
+            F.col("url"),
+            F.least(F.col("f.depth"), F.col("a.depth")).alias("depth"),
+            (
+                F.coalesce(F.col("f.link_count"), F.lit(0))
+                + F.coalesce(F.col("a.link_count"), F.lit(0))
+            ).alias("link_count"),
+            F.coalesce(F.col("f.round_added"), F.lit(rnd)).alias("round_added"),
+        )
+        .withColumn("host", host_col(F.col("url")))
+    )
+    return merged
+
+
+def build_bloom(seen: DataFrame, spec: flt.BloomSpec) -> DataFrame:
+    return flt.build_bloom_df(seen, spec)
+
+
+def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed frontier, denied counts per host). Robots is per-host
+    metadata -> broadcast join; prefix tests are native array exists."""
+    path = path_col(F.col("url"))
+    j = merged.withColumn("path", path).join(F.broadcast(robots), "host", "left")
+    denied_expr = F.when(
+        F.col("deny_prefixes").isNotNull()
+        & F.exists("deny_prefixes", lambda p: F.col("path").startswith(p)),
+        F.lit(True),
+    ).otherwise(F.lit(False))
+    allow_fail = F.when(
+        F.col("allow_prefixes").isNotNull() & (F.size("allow_prefixes") > 0),
+        ~F.exists("allow_prefixes", lambda p: F.col("path").startswith(p)),
+    ).otherwise(F.lit(False))
+    j = j.withColumn("denied", denied_expr | allow_fail)
+    allowed = j.filter(~F.col("denied")).select(
+        "url", "host", "depth", "link_count", "round_added"
+    )
+    denied_counts = (
+        j.filter(F.col("denied")).groupBy("host").agg(F.count("*").alias("denied"))
+    )
+    return allowed, denied_counts
+
+
+def _host_budgets(
+    allowed: DataFrame,
+    denied_counts: DataFrame,
+    credit: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    """Per-host (credit_before, delay, k) for hosts active this round.
+
+    Oracle semantics: only hosts with frontier candidates or denials this
+    round accrue round_budget_s of credit.
+    """
+    active = (
+        allowed.select("host")
+        .distinct()
+        .unionByName(denied_counts.select("host"))
+        .distinct()
+    )
+    b = (
+        active.join(credit, "host", "left")
+        .join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
+        .select(
+            "host",
+            (F.coalesce(F.col("credit"), F.lit(0.0)) + F.lit(cfg.round_budget_s)).alias(
+                "credit"
+            ),
+            F.when(
+                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
+                F.lit(cfg.default_crawl_delay_s),
+            )
+            .otherwise(F.col("crawl_delay_s"))
+            .alias("delay"),
+        )
+        .withColumn("k", F.floor(F.col("credit") / F.col("delay")).cast("int"))
+    )
+    return b
+
+
+def _topk_per_host(allowed: DataFrame, budgets: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Priority top-k per host with hot-host salting (gsplits pattern).
+
+    Returns scheduled rows with a per-host rank. Two-phase:
+    phase 1 pre-prunes each (host, salt) split to its own top-k so the
+    final per-host window never sees more than num_splits*k rows of a
+    hot host; phase 2 is the exact per-host rank. Identical output to a
+    single-phase window (each global top-k row ranks <= k in its split).
+    """
+    eligible = allowed.join(budgets.select("host", "k", "delay"), "host", "inner").filter(
+        F.col("k") > 0
+    )
+    ranked_src = eligible.withColumn(
+        "priority", _priority_udf()(F.col("depth"), F.col("link_count"))
+    ).withColumn("tie", _tie_udf()(F.col("url")))
+
+    # hot-host detection on pre-UDF columns (counting must not pay the
+    # priority/tie Python stages)
+    counts = eligible.groupBy("host").agg(F.count("*").alias("n"))
+    hot = counts.filter(F.col("n") > cfg.hot_host_threshold).withColumn(
+        "num_splits", F.ceil(F.col("n") / F.lit(cfg.hot_host_cap)).cast("int")
+    )
+    order = [F.col("priority").desc(), F.col("tie").asc(), F.col("url").asc()]
+
+    if hot.isEmpty():
+        w = Window.partitionBy("host").orderBy(*order)
+        return ranked_src.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= F.col("k")
+        )
+
+    # phase 1: salted pre-prune of hot hosts (D5 salt, RelexMention.java:127-132)
+    with_splits = ranked_src.join(F.broadcast(hot.select("host", "num_splits")), "host", "left")
+    salted = with_splits.withColumn(
+        "salt",
+        F.when(
+            F.col("num_splits").isNotNull(),
+            _salt_udf()(F.col("url"), F.col("num_splits")),
+        ).otherwise(F.lit(0)),
+    )
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    pre = salted.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= F.col("k"))
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("k"))
+        .drop("r1", "salt", "num_splits")
+    )
+
+
+
+def run_round(
+    spark: SparkSession,
+    candidates: DataFrame,
+    state: dict[str, DataFrame],
+    robots: DataFrame,
+    docs: DataFrame,
+    rnd: int,
+    cfg: CrawlConfig,
+) -> dict:
+    """Execute one scheduling round; returns new state + outputs.
+
+    docs: the interleaved documents table
+    (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+    """
+    frontier, seen, credit = state["frontier"], state["seen"], state["credit"]
+
+    merged = _merge_candidates(
+        candidates, frontier, seen, rnd, cfg, seen_nonempty=state.get("seen_nonempty")
+    )
+    allowed, denied_counts = _robots_split(merged, robots)
+    # localCheckpoint: materialize once AND truncate lineage so iterative
+    # rounds don't grow the logical plan (analysis cost blows up otherwise).
+    allowed = allowed.localCheckpoint(eager=True)
+    denied_counts = denied_counts.localCheckpoint(eager=True)
+    budgets = _host_budgets(allowed, denied_counts, credit, robots, cfg)
+
+    scheduled = _topk_per_host(allowed, budgets, cfg).localCheckpoint(eager=True)
+
+    # global deterministic crawl order: host ASC, per-host rank ASC
+    pos_w = Window.orderBy(F.col("host").asc(), F.col("rank").asc())
+    fetch_batch = scheduled.withColumn("position", F.row_number().over(pos_w) - 1).select(
+        F.lit(rnd).alias("round"),
+        "position",
+        "url",
+        "host",
+        "depth",
+        "link_count",
+        "priority",
+        "rank",
+    )
+
+    # fetch = join against the documents table (sandbox stand-in for the
+    # WARC fetch stage S3; real deployment swaps this seam for an HTTP
+    # mapInPandas with retry columns, SaveCommonCrawlBase.java:90-202)
+    fetched = (
+        fetch_batch.alias("b")
+        .join(docs.alias("d"), F.col("b.url") == F.col("d.doc_id"), "left")
+        .select("b.*", F.col("d.spans").alias("spans"))
+        .withColumn("fetch_status", F.when(F.col("spans").isNotNull(), "fetched").otherwise("miss"))
+        .localCheckpoint(eager=True)
+    )
+
+    outlinks = (
+        fetched.filter(F.col("fetch_status") == "fetched")
+        .select("depth", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "link") & F.col("s.media_ref").isNotNull())
+        .select(F.col("s.media_ref").alias("url"), (F.col("depth") + 1).alias("depth"))
+    )
+
+    new_seen = seen.unionByName(
+        fetch_batch.select(
+            "url", F.xxhash64(F.col("url")).alias("url_hash"), F.lit(rnd).alias("round_seen")
+        )
+    )
+    new_frontier = allowed.join(fetch_batch.select("url"), "url", "left_anti")
+
+    sched_per_host = scheduled.groupBy("host").agg(
+        F.count("*").alias("scheduled"), F.first("delay").alias("delay_s")
+    )
+    new_credit_active = (
+        budgets.join(sched_per_host.select("host", "scheduled"), "host", "left")
+        .select(
+            "host",
+            (
+                F.col("credit")
+                - F.coalesce(F.col("scheduled"), F.lit(0)) * F.col("delay")
+            ).alias("credit"),
+        )
+    )
+    new_credit = credit.join(new_credit_active.select("host"), "host", "left_anti").unionByName(
+        new_credit_active
+    )
+
+    cand_per_host = allowed.groupBy("host").agg(F.count("*").alias("candidates"))
+    audit = (
+        cand_per_host.join(denied_counts, "host", "full_outer")
+        .join(sched_per_host.select("host", "scheduled"), "host", "full_outer")
+        .select(
+            F.lit(rnd).alias("round"),
+            "host",
+            F.coalesce(F.col("candidates"), F.lit(0)).alias("candidates"),
+            F.coalesce(F.col("denied"), F.lit(0)).alias("denied"),
+            F.coalesce(F.col("scheduled"), F.lit(0)).alias("scheduled"),
+            (
+                F.coalesce(F.col("candidates"), F.lit(0))
+                - F.coalesce(F.col("scheduled"), F.lit(0))
+            ).alias("deferred"),
+        )
+    )
+
+    return {
+        "frontier": new_frontier,
+        "seen": new_seen,
+        "credit": new_credit,
+        "fetch_batch": fetch_batch,
+        "emitted": fetched.filter(F.col("fetch_status") == "fetched").select(
+            "round", "position", "url", "spans"
+        ),
+        "outlinks": outlinks,
+        "audit": audit,
+    }
+
+
+class CrawlDriver:
+    """Round loop with parquet checkpointing + resume (the reference's
+    output-exists resume pattern, RelexBuildDataset.java:72-93)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        robots: DataFrame,
+        docs: DataFrame,
+        cfg: CrawlConfig,
+        state_dir: str | pathlib.Path | None = None,
+    ):
+        self.spark = spark
+        self.robots = robots
+        self.docs = docs
+        self.cfg = cfg
+        self.state_dir = pathlib.Path(state_dir) if state_dir else None
+
+    def _ckpt(self, rnd: int, out: dict, candidates_next: DataFrame) -> None:
+        if self.state_dir is None:
+            return
+        d = self.state_dir / f"round_{rnd:04d}"
+        d.mkdir(parents=True, exist_ok=True)
+        for name in ("frontier", "seen", "credit", "audit", "fetch_batch"):
+            out[name].write.mode("overwrite").parquet(str(d / name))
+        candidates_next.write.mode("overwrite").parquet(str(d / "next_candidates"))
+        # per-partition lineage: which spark partition wrote which rows
+        (d / "COMMIT").write_text(json.dumps({"round": rnd}))
+
+    def latest_checkpoint(self) -> int | None:
+        if self.state_dir is None or not self.state_dir.exists():
+            return None
+        done = sorted(
+            int(p.name.split("_")[1])
+            for p in self.state_dir.glob("round_*")
+            if (p / "COMMIT").exists()
+        )
+        return done[-1] if done else None
+
+    def resume_state(self, rnd: int) -> tuple[dict[str, DataFrame], DataFrame]:
+        d = self.state_dir / f"round_{rnd:04d}"
+        state = {
+            name: self.spark.read.parquet(str(d / name))
+            for name in ("frontier", "seen", "credit")
+        }
+        return state, self.spark.read.parquet(str(d / "next_candidates"))
+
+    def run(self, seeds: DataFrame, start_round: int = 0, resume: bool = False):
+        """Run rounds to completion; returns aggregate outputs dict."""
+        if resume and (last := self.latest_checkpoint()) is not None:
+            state, candidates = self.resume_state(last)
+            start_round = last + 1
+        else:
+            state = empty_state(self.spark)
+            state["seen_nonempty"] = False
+            state["n_seen"] = 0
+            candidates = seeds.select("url", F.col("depth").cast("int"))
+
+        batches, audits, emitted = [], [], []
+        for rnd in range(start_round, self.cfg.max_rounds):
+            out = run_round(
+                self.spark, candidates, state, self.robots, self.docs, rnd, self.cfg
+            )
+            batch = out["fetch_batch"].localCheckpoint(eager=True)
+            n_sched = batch.count()
+            candidates = out["outlinks"].localCheckpoint(eager=True)
+            n_out = candidates.count()
+            # truncate state lineage every round — without this the
+            # logical plan grows per round and analysis dominates runtime
+            n_seen_prev = state.get("n_seen", 0)
+            state = {
+                k: out[k].localCheckpoint(eager=True) for k in ("frontier", "seen", "credit")
+            }
+            state["n_seen"] = n_seen_prev + n_sched
+            state["seen_nonempty"] = state["n_seen"] > 0
+            out["fetch_batch"] = batch
+            self._ckpt(rnd, out, candidates)
+            batches.append(batch)
+            audits.append(out["audit"].localCheckpoint(eager=True))
+            emitted.append(out["emitted"].localCheckpoint(eager=True))
+            if n_sched == 0 and n_out == 0:
+                break
+        import functools
+
+        if not batches:
+            # resume target already complete: nothing left to schedule
+            empty_sched = self.spark.createDataFrame(
+                [],
+                "round int, position int, url string, host string, depth int, "
+                "link_count bigint, priority double, rank int",
+            )
+            empty_audit = self.spark.createDataFrame(
+                [],
+                "round int, host string, candidates bigint, denied bigint, "
+                "scheduled bigint, deferred bigint",
+            )
+            empty_emitted = self.spark.createDataFrame(
+                [],
+                "round int, position int, url string, spans array<struct<"
+                "kind:string,text:string,media_ref:string,offset:int>>",
+            )
+            return {
+                "schedule": empty_sched,
+                "audit": empty_audit,
+                "emitted": empty_emitted,
+                "state": state,
+            }
+
+        return {
+            "schedule": functools.reduce(DataFrame.unionByName, batches),
+            "audit": functools.reduce(DataFrame.unionByName, audits),
+            "emitted": functools.reduce(DataFrame.unionByName, emitted),
+            "state": state,
+        }

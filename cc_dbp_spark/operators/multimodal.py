@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBBED (deterministic fakes clearly marked below); the Spark-side
+contract — schema, batch shape, partition sizing, UDF signature — is
+real and tested. Swapping a stub for a real decoder (PIL/librosa/ffmpeg)
+changes only the marked inner function.
+
+Reference analogue: the crawl layer treats WARC payload bytes as opaque
+until charset detection (``corpus/.../CharsetDetect.java``); media spans
+carry only a ``media_ref`` (``nlp/.../types/LinkAnnotation.java:30-38``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, kind string, payload binary, "
+    "width int, height int, sample_rate int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_ref string, kind string, ok boolean, error string, "
+    "feat array<float>, width int, height int"
+)
+
+
+def synth_media_table(spark, refs: list[str], kind: str = "image") -> DataFrame:
+    """Deterministic fake media rows for a list of media_refs: payload =
+    sha256-seeded bytes; metadata derived from the digest. Stands in for
+    the fetched-bytes table a real crawl would produce."""
+    rows = []
+    for ref in refs:
+        d = hashlib.sha256(ref.encode()).digest()
+        payload = (d * 8)[:256]
+        rows.append(
+            (
+                ref,
+                kind,
+                bytearray(payload),
+                64 + d[0] % 192,
+                64 + d[1] % 192,
+                8000 + d[2] * 16,
+                1000 + d[3] * 20,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode — deterministic fake pixels from payload bytes.
+
+    Real implementation: PIL.Image.open(io.BytesIO(payload)); not
+    available in this container. The fake keeps shape semantics
+    (H, W, 3 uint8) so downstream feature code is exercised for real.
+    """
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def extract_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """mapInPandas decode + feature extraction: per Arrow batch, decode
+    each payload (stubbed), compute channel-mean/std features, emit a
+    typed feature row. Errors become (ok=false, error) rows — the fetch
+    layer's exception-histogram pattern (SaveCommonCrawlBase.java:150-196)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    img = _fake_decode_image(bytes(row["payload"]), row["width"], row["height"])
+                    feat = np.concatenate(
+                        [
+                            img.mean(axis=(0, 1)) / 255.0,
+                            img.std(axis=(0, 1)) / 255.0,
+                            [img.shape[0] / 1024.0, img.shape[1] / 1024.0],
+                        ]
+                    ).astype(np.float32)[:feat_dim]
+                    out.append(
+                        {
+                            "media_ref": row["media_ref"],
+                            "kind": row["kind"],
+                            "ok": True,
+                            "error": None,
+                            "feat": feat,
+                            "width": row["width"],
+                            "height": row["height"],
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - error-row contract
+                    out.append(
+                        {
+                            "media_ref": row["media_ref"],
+                            "kind": row["kind"],
+                            "ok": False,
+                            "error": str(e)[:200],
+                            "feat": None,
+                            "width": None,
+                            "height": None,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(process, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Typed resize plan (native expressions; the actual pixel resize is
+    the stubbed decode's concern). Keeps aspect ratio, never upscales."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return media.select(
+        "media_ref",
+        "kind",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video-kind rows: explode deterministic
+    timestamps 0..duration step every_ms (native sequence/explode)."""
+    ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_ref", F.explode(ts).alias("frame_ms"))
+    )

@@ -1,0 +1,147 @@
+"""Tests for dedup operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding near-dup — differential against brute-force/naive
+oracles computed in python (the TestGazetteerMatcher pattern)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.operators import dedup
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _mk_docs(spark, n=60, seed=13):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        base = " ".join(rng.choice(WORDS, size=30))
+        rows.append((f"d{i:03d}", base))
+        if i % 10 == 0:  # exact dup (case/space noise)
+            rows.append((f"d{i:03d}x", base.upper() + "  "))
+        if i % 7 == 0:  # near dup: perturb 2 words
+            toks = base.split()
+            toks[5], toks[17] = "zzz", "qqq"
+            rows.append((f"d{i:03d}n", " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id string, text string"), rows
+
+
+def _py_shingles(text, k=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    if len(toks) < k:
+        return {" ".join(text.lower().split())}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_duplicates(spark):
+    docs, rows = _mk_docs(spark)
+    out = {r.keeper: set(r.dup_ids) for r in dedup.exact_duplicates(docs).collect()}
+    # python oracle
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for i, t in rows:
+        groups[" ".join(t.lower().split())].add(i)
+    want = {min(g): g for g in groups.values() if len(g) > 1}
+    assert out == want
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    docs, rows = _mk_docs(spark)
+    kept = {r.doc_id for r in dedup.dedup_exact(docs).collect()}
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for i, t in rows:
+        groups[" ".join(t.lower().split())].add(i)
+    want = {min(g) for g in groups.values()}
+    assert kept == want
+
+
+def test_ngram_jaccard_matches_python_oracle(spark):
+    docs, rows = _mk_docs(spark, n=30)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(sorted(rows), 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs, rows = _mk_docs(spark)
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    sim = dedup.minhash_similarity(cand, sigs)
+    got_pairs = {(r.id_a, r.id_b) for r in sim.filter(F.col("est_jaccard") > 0.9).collect()}
+    # exact duplicates must be found with est_jaccard ~1
+    want_exact = set()
+    norm = {}
+    for i, t in rows:
+        key = " ".join(t.lower().split())
+        if key in norm:
+            a, b = sorted([norm[key], i])
+            want_exact.add((a, b))
+        else:
+            norm[key] = i
+    assert want_exact <= got_pairs
+    # estimated jaccard should correlate with true jaccard on candidates
+    rows_sim = sim.collect()
+    texts = dict(rows)
+    for r in rows_sim:
+        true_j = len(_py_shingles(texts[r.id_a]) & _py_shingles(texts[r.id_b])) / len(
+            _py_shingles(texts[r.id_a]) | _py_shingles(texts[r.id_b])
+        )
+        assert abs(r.est_jaccard - true_j) < 0.35, (r.id_a, r.id_b, r.est_jaccard, true_j)
+
+
+def test_simhash_near_dups(spark):
+    docs, rows = _mk_docs(spark)
+    sim = dedup.simhash(docs)
+    pairs = dedup.simhash_near_dups(sim, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # exact dups have identical simhash -> hamming 0 -> must be present
+    norm = {}
+    for i, t in rows:
+        key = " ".join(t.lower().split())
+        if key in norm:
+            got_pair = tuple(sorted([norm[key], i]))
+            assert got_pair in got, got_pair
+        else:
+            norm[key] = i
+    # sanity: all reported pairs respect the hamming bound
+    hams = pairs.collect()
+    sims = {r.doc_id: r.simhash for r in sim.collect()}
+    for r in hams:
+        assert bin(sims[r.id_a] ^ sims[r.id_b]).count("1") == r.hamming <= 3
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # clones with tiny noise -> cosine ~1
+    for i in range(5):
+        rows.append((100 + i, (base[i] + 0.001 * rng.standard_normal(16).astype(np.float32)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(emb, threshold=0.99).collect()}
+    want = {(i, 100 + i) for i in range(5)}
+    assert want <= got
+    # precision: every reported pair is genuinely >= threshold
+    vecs = {i: np.array(v) for i, v in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos >= 0.99 - 1e-6

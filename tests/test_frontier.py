@@ -1,0 +1,151 @@
+"""Differential crawl tests: the Spark scheduling job must reproduce the
+pure-Python oracle's crawl ordering, URL-seen set, and emitted span
+sequences exactly (the TestGazetteerMatcher fast-vs-naive pattern,
+nlp/src/test/.../TestGazetteerMatcher.java:65-136)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.operators import frontier as fr
+from cc_dbp_spark.oracle import scheduler as orc
+from cc_dbp_spark.functions.urlnorm import canonicalize_py
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_tables):
+    docs, seeds, robots = fixture_tables
+    docs_by_url = {canonicalize_py(d["doc_id"]): d["spans"] for d in docs}
+    cfg = orc.CrawlConfig(round_budget_s=3.0, max_rounds=4)
+    return orc.run_oracle([s["url"] for s in seeds], docs_by_url, robots, cfg)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, fixture_dir):
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    cfg = fr.CrawlConfig(round_budget_s=3.0, max_rounds=4, use_bloom=True,
+                         bloom_capacity=1 << 14, bloom_partitions=4)
+    driver = fr.CrawlDriver(spark, robots, docs, cfg)
+    return driver.run(seeds)
+
+
+def test_crawl_order_matches_oracle(oracle_result, spark_result):
+    got = [
+        (r["round"], r["position"], r["url"])
+        for r in spark_result["schedule"]
+        .orderBy("round", "position")
+        .select("round", "position", "url")
+        .collect()
+    ]
+    want = oracle_result.schedule_log
+    assert len(got) == len(want), (len(got), len(want))
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:10]
+
+
+def test_seen_set_matches_oracle(oracle_result, spark_result):
+    got = {
+        r["url"]: r["round_seen"]
+        for r in spark_result["state"]["seen"].select("url", "round_seen").collect()
+    }
+    assert got == oracle_result.seen
+
+
+def test_emitted_spans_match_fixture(oracle_result, spark_result, fixture_tables):
+    """Span-sequence equality (kind, text, media_ref, order) on every
+    emitted document — the per-row invariant from input_hint."""
+    docs, _, _ = fixture_tables
+    fixture_spans = {canonicalize_py(d["doc_id"]): d["spans"] for d in docs}
+    emitted = spark_result["emitted"].select("url", "spans").collect()
+    want_urls = {u for _, u, _ in oracle_result.emitted}
+    assert {r["url"] for r in emitted} == want_urls
+    for r in emitted:
+        want = [(s["kind"], s["text"], s["media_ref"]) for s in fixture_spans[r["url"]]]
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        assert got == want, r["url"]
+        offsets = [s["offset"] for s in r["spans"]]
+        assert offsets == sorted(offsets), r["url"]
+
+
+def test_audit_consistency(oracle_result, spark_result):
+    got = {
+        (r["round"], r["host"]): (r["candidates"], r["denied"], r["scheduled"], r["deferred"])
+        for r in spark_result["audit"].collect()
+    }
+    want = {
+        (a["round"], a["host"]): (a["candidates"], a["denied"], a["scheduled"], a["deferred"])
+        for a in oracle_result.audit
+    }
+    # Spark audit may omit rounds after termination; oracle logs identical rounds
+    assert got == want
+
+
+def test_denied_host_never_scheduled(spark_result):
+    # host44 is deny-all in the fixtures
+    n = (
+        spark_result["schedule"]
+        .filter(F.col("host") == "host44.example.com")
+        .count()
+    )
+    assert n == 0
+
+
+def test_slow_host_deferred(spark_result, oracle_result):
+    # host45 has crawl_delay 1000s; with 3s/round budget over these rounds it
+    # can never accumulate enough credit -> nothing scheduled
+    n = (
+        spark_result["schedule"].filter(F.col("host") == "host45.example.com").count()
+    )
+    assert n == 0
+    assert not any("host45" in u for u in oracle_result.seen)
+
+
+def test_salted_topk_equals_plain(spark, fixture_dir):
+    """Hot-host salting must not change results (two-phase == single-phase)."""
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    base = dict(round_budget_s=3.0, max_rounds=2, use_bloom=False)
+    plain = fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(**base, hot_host_threshold=10**9)
+    ).run(seeds)
+    salted = fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(**base, hot_host_threshold=5, hot_host_cap=5)
+    ).run(seeds)
+    p = [(r["round"], r["position"], r["url"]) for r in plain["schedule"].orderBy("round", "position").collect()]
+    s = [(r["round"], r["position"], r["url"]) for r in salted["schedule"].orderBy("round", "position").collect()]
+    assert p == s
+
+
+def test_resume_equals_straight_run(spark, fixture_dir, tmp_path_factory):
+    """Kill-after-round-k resume: checkpointed run == uninterrupted run."""
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    straight = fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(round_budget_s=3.0, max_rounds=4, use_bloom=False)
+    ).run(seeds)
+    want_seen = {
+        (r["url"], r["round_seen"]) for r in straight["state"]["seen"].collect()
+    }
+
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    # run only 2 rounds, checkpointing
+    d1 = fr.CrawlDriver(
+        spark, robots, docs,
+        fr.CrawlConfig(round_budget_s=3.0, max_rounds=2, use_bloom=False),
+        state_dir=ckpt,
+    )
+    d1.run(seeds)
+    # resume to 4 rounds from checkpoint
+    d2 = fr.CrawlDriver(
+        spark, robots, docs,
+        fr.CrawlConfig(round_budget_s=3.0, max_rounds=4, use_bloom=False),
+        state_dir=ckpt,
+    )
+    resumed = d2.run(seeds, resume=True)
+    got_seen = {(r["url"], r["round_seen"]) for r in resumed["state"]["seen"].collect()}
+    assert got_seen == want_seen

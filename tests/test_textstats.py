@@ -1,0 +1,90 @@
+"""Text-analysis column functions vs python oracles."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.functions import textstats as ts
+
+DOCS = [
+    ("a", "the quick brown fox and the lazy dog in the yard"),
+    ("b", "le chat et le chien est dans la maison"),
+    ("c", "el perro y el gato es de la casa"),
+    ("d", "der hund und die katze ist ein tier"),
+    ("e", ""),
+    ("f", "    "),
+    ("g", "x"),
+    ("h", "!!! ??? ... ;;;"),
+    ("i", "Words With   MIXED   spacing\tand\ttabs"),
+    ("j", "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_token_count(spark):
+    rows = _df(spark).select("doc_id", ts.token_count(F.col("text")).alias("n")).collect()
+    for r in rows:
+        text = dict(DOCS)[r.doc_id]
+        want = len(text.split()) if text.strip() else 0
+        assert r.n == want, (r.doc_id, r.n, want)
+
+
+def test_punct_ratio(spark):
+    rows = _df(spark).select("doc_id", ts.punct_ratio(F.col("text")).alias("p")).collect()
+    for r in rows:
+        text = dict(DOCS)[r.doc_id]
+        nonspace = re.sub(r"\s+", "", text)
+        punct = re.sub(r"[A-Za-z0-9\s]+", "", text)
+        want = len(punct) / len(nonspace) if nonspace else 0.0
+        assert abs(r.p - want) < 1e-12, r.doc_id
+
+
+def test_lang_id(spark):
+    rows = _df(spark).select("doc_id", ts.lang_id(F.col("text")).alias("lang")).collect()
+    got = {r.doc_id: r.lang for r in rows}
+    assert got["a"] == "en"
+    assert got["b"] == "fr"
+    assert got["c"] == "es"
+    assert got["d"] == "de"
+    assert got["e"] == "und"
+    assert got["h"] == "und"
+
+
+def test_quality_score_bounds(spark):
+    rows = _df(spark).select(ts.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("x", "Hello  World"), ("y", "  hello world "), ("z", "different")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r.fp for r in df.select("doc_id", ts.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows["x"] == rows["y"] != rows["z"]
+
+
+def test_rolling_hash_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("long", "one two three four five six seven eight nine ten"),
+         ("short", "one two")],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r.rh for r in df.select(
+        "doc_id", ts.rolling_hash_fingerprint(F.col("text"), window=4).alias("rh")
+    ).collect()}
+    assert rows["long"] is not None
+    assert rows["short"] is None
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("a", "hello, world! 42x")], "doc_id string, text string")
+    n = df.select(ts.bpe_ish_token_count(F.col("text")).alias("n")).first().n
+    # hello , world ! 42 x  -> 6
+    assert n == 6
