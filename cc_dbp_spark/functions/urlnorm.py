@@ -32,17 +32,33 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
+_BIG = 1 << 30  # "rest of string" length for Column.substr
+
+
 def canonicalize_col(url: Column) -> Column:
-    """Canonical URL as a native Column expression chain."""
+    """Canonical URL as a native Column expression chain.
+
+    Built from UTF8String primitives (substring_index/substr/length)
+    instead of a regexp chain — on the hot path every regexp costs ~µs/row
+    across 10^10 URLs; only three regex ops remain (scheme sniff, port
+    digits, ``//+`` collapse). Semantics identical to
+    :func:`canonicalize_py` (differential-tested)."""
     u = F.trim(url)
-    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.substring_index(u, "#", 1)  # fragment strip (everything after first '#')
     u = F.when(u.rlike(_SCHEME_RE), u).otherwise(F.concat(F.lit("http://"), u))
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
-    host = F.lower(F.regexp_replace(hostport, r":[0-9]+$", ""))
+    # scheme = chars before the FIRST '://' (the rlike guard guarantees
+    # this equals the regex capture)
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = u.substr(F.length(scheme) + 4, F.lit(_BIG))
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    pathq = rest.substr(F.length(hostport) + 1, F.lit(_BIG))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.lower(
+        F.when(
+            port != "",
+            hostport.substr(F.lit(1), F.length(hostport) - F.length(port) - 1),
+        ).otherwise(hostport)
+    )
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
@@ -52,14 +68,14 @@ def canonicalize_col(url: Column) -> Column:
 
 
 def _assemble(scheme: Column, host: Column, port: Column, keep_port: Column, pathq: Column) -> Column:
-    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.substring_index(pathq, "?", 1)
     has_q = pathq.contains("?")
-    query = F.regexp_replace(pathq, r"^[^?]*\?", "")
+    query = pathq.substr(F.length(path) + 2, F.lit(_BIG))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.regexp_replace(path, r"//+", "/")
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1).cast("string"),
+        path.substr(F.lit(1), F.length(path) - 1),
     ).otherwise(path)
     base = F.concat(
         scheme,
@@ -73,13 +89,20 @@ def _assemble(scheme: Column, host: Column, port: Column, keep_port: Column, pat
 
 def host_col(canon_url: Column) -> Column:
     """Host (incl. non-default port) of an already-canonical URL."""
-    return F.regexp_extract(canon_url, r"^[a-z][a-z0-9+.\-]*://([^/?]*)", 1)
+    rest = canon_url.substr(
+        F.length(F.substring_index(canon_url, "://", 1)) + 4, F.lit(_BIG)
+    )
+    return F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
 
 
 def path_col(canon_url: Column) -> Column:
     """Path (no query) of an already-canonical URL."""
-    p = F.regexp_replace(canon_url, r"^[a-z][a-z0-9+.\-]*://[^/?]*", "")
-    p = F.regexp_extract(p, r"^([^?]*)", 1)
+    rest = canon_url.substr(
+        F.length(F.substring_index(canon_url, "://", 1)) + 4, F.lit(_BIG)
+    )
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    pathq = rest.substr(F.length(hostport) + 1, F.lit(_BIG))
+    p = F.substring_index(pathq, "?", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

@@ -55,6 +55,11 @@ class CrawlConfig:
     bloom_partitions: int = 16
     hot_host_threshold: int = 10_000  # counts above this get salted top-k
     hot_host_cap: int = 5_000  # target rows per salt split
+    # map-side bounded top-k prune (NBest pattern) before the rank shuffle:
+    # wins when the shuffle is network-bound (real cluster) or the
+    # frontier >> schedule; on a single box the extra Arrow pass over the
+    # full frontier costs more than the smaller sort saves, so default off
+    local_topk_prune: bool = False
 
 
 FRONTIER_SCHEMA = "url string, host string, depth int, link_count bigint, round_added int"
@@ -66,6 +71,17 @@ CAND_SCHEMA = "url string, depth int"
 _udf_cache: dict[str, object] = {}
 
 
+def priority_col(depth, link_count):
+    """OPIC-style priority as a NATIVE column expression — IEEE-double
+    identical to :func:`cc_dbp_spark.functions.priority.priority_score`
+    (same op sequence: 1/(1+d) + 0.1*log1p(lc); differential-tested), so
+    the hot path pays no Python runner for the priority."""
+    return (
+        F.lit(1.0) / (F.lit(1.0) + F.col(depth).cast("double"))
+        + F.lit(0.1) * F.log1p(F.col(link_count).cast("double"))
+    )
+
+
 def _priority_udf():
     if "priority" not in _udf_cache:
         @F.pandas_udf(DoubleType())
@@ -74,6 +90,91 @@ def _priority_udf():
 
         _udf_cache["priority"] = fn
     return _udf_cache["priority"]
+
+
+def _tie_salt_udf():
+    """Fused (tie draw, hot-host salt) in ONE Arrow runner: a stage with
+    two chained pandas UDFs needs two Python workers per task slot — the
+    cold-start storm of the second pool dominated the whole round."""
+    if "tie_salt" not in _udf_cache:
+        @F.pandas_udf("tie double, salt int")
+        def fn(url: pd.Series, num_splits: pd.Series) -> pd.DataFrame:
+            u = url.fillna("")
+            tie = parity.pseudo_random_from_string(u)
+            ns = num_splits.fillna(1).to_numpy(dtype=np.int64)
+            salt = np.zeros(len(u), dtype=np.int32)
+            hot = ns > 1
+            if hot.any():
+                salt[hot] = parity.group_salt(u[hot], ns[hot]).astype(np.int32)
+            return pd.DataFrame({"tie": tie, "salt": salt})
+
+        _udf_cache["tie_salt"] = fn
+    return _udf_cache["tie_salt"]
+
+
+_PRUNE_SCHEMA = (
+    "url string, host string, depth int, link_count bigint, k int, "
+    "delay double, priority double, tie double, salt int"
+)
+_PRUNE_SORT_COLS = ["host", "salt", "priority", "tie", "url"]
+_PRUNE_SORT_ASC = [True, True, False, True, True]
+
+
+def _score_and_local_topk(max_buffer_rows: int = 2_000_000):
+    """mapInPandas kernel: per Arrow batch compute (priority, tie, salt)
+    vectorized, then keep only each partition's LOCAL top-k per
+    (host, salt) — the reference's bounded-heap NBest pattern (T1,
+    ``util/.../NBest.java:28-70``) as a map-side combiner.
+
+    The global top-k per group is a subset of every partition's local
+    top-k, so the downstream exact rank window shuffles O(groups * k)
+    rows instead of the whole frontier — at 10^10 URLs that is the
+    difference between sorting the frontier and sorting the schedule.
+    Priority/tie come from the SAME numpy kernels the oracle uses, so
+    ordering parity is bit-exact by construction.
+    """
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_PRUNE_SORT_COLS, ascending=_PRUNE_SORT_ASC, kind="mergesort")
+        keep = pdf.groupby(["host", "salt"], sort=False).cumcount() < pdf["k"].to_numpy()
+        return pdf[keep.to_numpy()]
+
+    def fn(batches):
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            u = pdf["url"].fillna("")
+            ns = pdf["num_splits"].fillna(1).to_numpy(dtype=np.int64)
+            salt = np.zeros(len(pdf), dtype=np.int32)
+            hot = ns > 1
+            if hot.any():
+                salt[hot] = parity.group_salt(u[hot], ns[hot]).astype(np.int32)
+            out = pd.DataFrame(
+                {
+                    "url": u,
+                    "host": pdf["host"],
+                    "depth": pdf["depth"],
+                    "link_count": pdf["link_count"],
+                    "k": pdf["k"],
+                    "delay": pdf["delay"],
+                    "priority": priority_score(
+                        pdf["depth"].to_numpy(), pdf["link_count"].to_numpy()
+                    ),
+                    "tie": parity.pseudo_random_from_string(u),
+                    "salt": salt,
+                }
+            )
+            buf.append(out)
+            buffered += len(out)
+            if buffered > max_buffer_rows:
+                merged = prune(pd.concat(buf, ignore_index=True))
+                buf, buffered = [merged], len(merged)
+        if buf:
+            yield prune(pd.concat(buf, ignore_index=True))
+
+    return fn
 
 
 def _tie_udf():
@@ -156,9 +257,11 @@ def build_bloom(seen: DataFrame, spec: flt.BloomSpec) -> DataFrame:
     return flt.build_bloom_df(seen, spec)
 
 
-def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(allowed frontier, denied counts per host). Robots is per-host
-    metadata -> broadcast join; prefix tests are native array exists."""
+def _robots_flag(merged: DataFrame, robots: DataFrame) -> DataFrame:
+    """Frontier rows + a ``denied`` flag. Robots is per-host metadata ->
+    broadcast join; prefix tests are native array exists. Returned as ONE
+    DataFrame so the caller can checkpoint the (expensive) upstream once
+    and derive allowed/denied by cheap narrow filters."""
     path = path_col(F.col("url"))
     j = merged.withColumn("path", path).join(F.broadcast(robots), "host", "left")
     denied_expr = F.when(
@@ -170,36 +273,29 @@ def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
         F.col("allow_prefixes").isNotNull() & (F.size("allow_prefixes") > 0),
         ~F.exists("allow_prefixes", lambda p: F.col("path").startswith(p)),
     ).otherwise(F.lit(False))
-    j = j.withColumn("denied", denied_expr | allow_fail)
-    allowed = j.filter(~F.col("denied")).select(
-        "url", "host", "depth", "link_count", "round_added"
+    return j.withColumn("denied", denied_expr | allow_fail).select(
+        "url", "host", "depth", "link_count", "round_added", "denied"
     )
+
+
+def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed frontier, denied counts per host) — see :func:`_robots_flag`."""
+    flagged = _robots_flag(merged, robots)
+    allowed = flagged.filter(~F.col("denied")).drop("denied")
     denied_counts = (
-        j.filter(F.col("denied")).groupBy("host").agg(F.count("*").alias("denied"))
+        flagged.filter(F.col("denied")).groupBy("host").agg(F.count("*").alias("denied"))
     )
     return allowed, denied_counts
 
 
-def _host_budgets(
-    allowed: DataFrame,
-    denied_counts: DataFrame,
-    credit: DataFrame,
-    robots: DataFrame,
-    cfg: CrawlConfig,
+def _host_budgets_from_stats(
+    host_stats: DataFrame, credit: DataFrame, robots: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
-    """Per-host (credit_before, delay, k) for hosts active this round.
-
-    Oracle semantics: only hosts with frontier candidates or denials this
-    round accrue round_budget_s of credit.
-    """
-    active = (
-        allowed.select("host")
-        .distinct()
-        .unionByName(denied_counts.select("host"))
-        .distinct()
-    )
+    """Like :func:`_host_budgets` but from the fused per-host stats table
+    (its host set IS the active set: hosts with candidates or denials)."""
     b = (
-        active.join(credit, "host", "left")
+        host_stats.select("host")
+        .join(credit, "host", "left")
         .join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
         .select(
             "host",
@@ -218,7 +314,12 @@ def _host_budgets(
     return b
 
 
-def _topk_per_host(allowed: DataFrame, budgets: DataFrame, cfg: CrawlConfig) -> DataFrame:
+def _topk_per_host(
+    allowed: DataFrame,
+    budgets: DataFrame,
+    cfg: CrawlConfig,
+    host_counts: DataFrame | None = None,
+) -> DataFrame:
     """Priority top-k per host with hot-host salting (gsplits pattern).
 
     Returns scheduled rows with a per-host rank. Two-phase:
@@ -226,44 +327,73 @@ def _topk_per_host(allowed: DataFrame, budgets: DataFrame, cfg: CrawlConfig) -> 
     final per-host window never sees more than num_splits*k rows of a
     hot host; phase 2 is the exact per-host rank. Identical output to a
     single-phase window (each global top-k row ranks <= k in its split).
+
+    host_counts: optional pre-computed (host, n) — callers that already
+    aggregate per-host counts (audit) pass it in so the detection pass
+    isn't a second full scan of `allowed`.
     """
     eligible = allowed.join(budgets.select("host", "k", "delay"), "host", "inner").filter(
         F.col("k") > 0
     )
-    ranked_src = eligible.withColumn(
-        "priority", _priority_udf()(F.col("depth"), F.col("link_count"))
-    ).withColumn("tie", _tie_udf()(F.col("url")))
 
     # hot-host detection on pre-UDF columns (counting must not pay the
-    # priority/tie Python stages)
-    counts = eligible.groupBy("host").agg(F.count("*").alias("n"))
-    hot = counts.filter(F.col("n") > cfg.hot_host_threshold).withColumn(
+    # tie Python stage); salting by allowed-count is equivalent to
+    # eligible-count — splitting a non-hot host never changes its top-k
+    if host_counts is None:
+        host_counts = allowed.groupBy("host").agg(F.count("*").alias("n"))
+    hot = host_counts.filter(F.col("n") > cfg.hot_host_threshold).withColumn(
         "num_splits", F.ceil(F.col("n") / F.lit(cfg.hot_host_cap)).cast("int")
     )
     order = [F.col("priority").desc(), F.col("tie").asc(), F.col("url").asc()]
 
-    if hot.isEmpty():
-        w = Window.partitionBy("host").orderBy(*order)
-        return ranked_src.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= F.col("k")
+    # host_counts is tiny (one row per host) — collect instead of
+    # isEmpty() so detection costs one job over the agg, not a full
+    # extra pass over `allowed`
+    hot_rows = hot.select("host", "num_splits").collect()
+
+    spark = allowed.sparkSession
+    if hot_rows:
+        hot_df = spark.createDataFrame(hot_rows, "host string, num_splits int")
+        src = eligible.join(F.broadcast(hot_df), "host", "left")
+    else:
+        src = eligible.withColumn("num_splits", F.lit(None).cast("int"))
+    src = src.select("url", "host", "depth", "link_count", "k", "delay", "num_splits")
+
+    if cfg.local_topk_prune:
+        # ONE Arrow pass scores (priority/tie/salt, numpy kernels shared
+        # with the oracle) AND map-side-prunes to each partition's local
+        # top-k per (host, salt) — the exact-rank windows below only see
+        # O(groups * k) rows, never the full frontier
+        pruned = src.mapInPandas(_score_and_local_topk(), _PRUNE_SCHEMA)
+    else:
+        # native priority + ONE fused Arrow runner for (tie, salt); the
+        # rank windows sort the full eligible set (fine until the
+        # frontier >> schedule or shuffle becomes network-bound)
+        pruned = (
+            src.withColumn("priority", priority_col("depth", "link_count"))
+            .withColumn("ts", _tie_salt_udf()(F.col("url"), F.col("num_splits")))
+            .select(
+                "url", "host", "depth", "link_count", "k", "delay",
+                "priority", F.col("ts.tie").alias("tie"), F.col("ts.salt").alias("salt"),
+            )
         )
 
-    # phase 1: salted pre-prune of hot hosts (D5 salt, RelexMention.java:127-132)
-    with_splits = ranked_src.join(F.broadcast(hot.select("host", "num_splits")), "host", "left")
-    salted = with_splits.withColumn(
-        "salt",
-        F.when(
-            F.col("num_splits").isNotNull(),
-            _salt_udf()(F.col("url"), F.col("num_splits")),
-        ).otherwise(F.lit(0)),
-    )
+    if not hot_rows:
+        w = Window.partitionBy("host").orderBy(*order)
+        return (
+            pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .drop("salt")
+        )
+
+    # phase 1: salted exact rank (D5 salt, RelexMention.java:127-132)
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
-    pre = salted.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= F.col("k"))
+    pre = pruned.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= F.col("k"))
     w2 = Window.partitionBy("host").orderBy(*order)
     return (
         pre.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("k"))
-        .drop("r1", "salt", "num_splits")
+        .drop("r1", "salt")
     )
 
 
@@ -282,25 +412,68 @@ def run_round(
     docs: the interleaved documents table
     (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
     """
+    import os
+    import time as _time
+
+    _prof = os.environ.get("CCDBP_PROFILE") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        if _prof:
+            print(f"[round {rnd}] {label}: {_time.time() - _t0:.2f}s cum", flush=True)
+
     frontier, seen, credit = state["frontier"], state["seen"], state["credit"]
 
     merged = _merge_candidates(
         candidates, frontier, seen, rnd, cfg, seen_nonempty=state.get("seen_nonempty")
     )
-    allowed, denied_counts = _robots_split(merged, robots)
-    # localCheckpoint: materialize once AND truncate lineage so iterative
-    # rounds don't grow the logical plan (analysis cost blows up otherwise).
-    allowed = allowed.localCheckpoint(eager=True)
-    denied_counts = denied_counts.localCheckpoint(eager=True)
-    budgets = _host_budgets(allowed, denied_counts, credit, robots, cfg)
+    # localCheckpoint: materialize the expensive canonicalize+merge+robots
+    # upstream exactly ONCE and truncate lineage so iterative rounds don't
+    # grow the logical plan (analysis cost blows up otherwise). allowed /
+    # denied_counts are narrow filters over the single checkpoint.
+    flagged = _robots_flag(merged, robots).localCheckpoint(eager=True)
+    _mark("flagged_ckpt")
+    allowed = flagged.filter(~F.col("denied")).drop("denied")
+    # ONE per-host stats pass feeds denial audit, hot-host detection, and
+    # budget computation (tiny table: a row per active host) — every extra
+    # aggregation over `flagged` is a full scan, so they're fused.
+    host_stats = (
+        flagged.groupBy("host")
+        .agg(
+            F.count(F.when(~F.col("denied"), 1)).alias("n"),
+            F.count(F.when(F.col("denied"), 1)).alias("denied"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _mark("host_stats_ckpt")
+    cand_per_host = host_stats.select("host", "n")
+    denied_counts = host_stats.filter(F.col("denied") > 0).select("host", "denied")
+    # budgets is a few joins over tiny tables — no checkpoint needed
+    budgets = _host_budgets_from_stats(host_stats, credit, robots, cfg)
 
-    scheduled = _topk_per_host(allowed, budgets, cfg).localCheckpoint(eager=True)
+    scheduled = _topk_per_host(allowed, budgets, cfg, host_counts=cand_per_host).localCheckpoint(
+        eager=True
+    )
+    _mark("topk_ckpt")
 
-    # global deterministic crawl order: host ASC, per-host rank ASC
-    pos_w = Window.orderBy(F.col("host").asc(), F.col("rank").asc())
-    fetch_batch = scheduled.withColumn("position", F.row_number().over(pos_w) - 1).select(
+    # global deterministic crawl order: host ASC, per-host rank ASC.
+    # position = host_offset + rank - 1, with offsets from a cumulative
+    # sum over the tiny per-host scheduled counts — fully parallel, no
+    # single-partition window over the whole batch.
+    sched_per_host = scheduled.groupBy("host").agg(
+        F.count("*").alias("scheduled"), F.first("delay").alias("delay_s")
+    ).localCheckpoint(eager=True)
+    _mark("sched_per_host_ckpt")
+    off_w = (
+        Window.orderBy(F.col("host").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = sched_per_host.select(
+        "host", F.coalesce(F.sum("scheduled").over(off_w), F.lit(0)).alias("host_offset")
+    )
+    fetch_batch = scheduled.join(F.broadcast(offsets), "host").select(
         F.lit(rnd).alias("round"),
-        "position",
+        (F.col("host_offset") + F.col("rank") - 1).cast("int").alias("position"),
         "url",
         "host",
         "depth",
@@ -319,6 +492,7 @@ def run_round(
         .withColumn("fetch_status", F.when(F.col("spans").isNotNull(), "fetched").otherwise("miss"))
         .localCheckpoint(eager=True)
     )
+    _mark("fetched_ckpt")
 
     outlinks = (
         fetched.filter(F.col("fetch_status") == "fetched")
@@ -334,9 +508,6 @@ def run_round(
     )
     new_frontier = allowed.join(fetch_batch.select("url"), "url", "left_anti")
 
-    sched_per_host = scheduled.groupBy("host").agg(
-        F.count("*").alias("scheduled"), F.first("delay").alias("delay_s")
-    )
     new_credit_active = (
         budgets.join(sched_per_host.select("host", "scheduled"), "host", "left")
         .select(
@@ -351,9 +522,9 @@ def run_round(
         new_credit_active
     )
 
-    cand_per_host = allowed.groupBy("host").agg(F.count("*").alias("candidates"))
     audit = (
-        cand_per_host.join(denied_counts, "host", "full_outer")
+        cand_per_host.withColumnRenamed("n", "candidates")
+        .join(denied_counts, "host", "full_outer")
         .join(sched_per_host.select("host", "scheduled"), "host", "full_outer")
         .select(
             F.lit(rnd).alias("round"),

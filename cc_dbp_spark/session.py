@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -40,3 +41,34 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warm_python_worker_pool(spark: SparkSession, cores: int | None = None) -> None:
+    """Start one Python UDF worker per core slot before timed work.
+
+    A cold pandas-UDF stage pays a per-worker import storm (pandas +
+    pyarrow per process); with 32 concurrent cold workers that dwarfs the
+    actual compute. Long-running executors on a real cluster amortize
+    this once per executor lifetime — ``spark.python.worker.reuse``
+    (default on) keeps the pool alive here, so one tiny many-task UDF
+    stage up front removes the artifact from every later stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    if cores is None:
+        cores = spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf(DoubleType())
+    def _noop(x: pd.Series) -> pd.Series:
+        return x.astype("float64")
+
+    # three CHAINED pandas UDFs = three Arrow runners per task = 3 workers
+    # per core slot, matching the worst per-stage runner fan-out in the
+    # engine (a stage with N chained UDFs demands N workers per slot)
+    x = F.col("id").cast("double")
+    (
+        spark.range(cores * 4)
+        .repartition(cores * 4)
+        .select(F.sum(_noop(_noop(_noop(x)))))  # nested -> 3 separate runners
+        .collect()
+    )
