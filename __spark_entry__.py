@@ -23,7 +23,30 @@ from pyspark.sql import functions as F
 from cc_dbp_spark import fixtures
 from cc_dbp_spark.functions import textstats as ts
 from cc_dbp_spark.functions.urlnorm import canonicalize_col, host_col
-from cc_dbp_spark.operators import dedup, frontier, multimodal, similarity
+from cc_dbp_spark.operators import (
+    dedup,
+    frontier,
+    gazetteer,
+    mentions,
+    multimodal,
+    similarity,
+    spans,
+)
+
+# deterministic gazetteer + ground truth over the testdata vocabulary
+# (reference shape: BuildGazetteer entries + GroundTruth triples)
+GAZ_WORDS = ["filter", "hash", "join", "merge", "scan", "sort", "spark", "stream", "vector", "window"]
+GAZ_PHRASES = [("hash", "join"), ("merge", "sort"), ("table", "scan")]
+GAZ_ENTRIES = [(f"ent:{w}", (w,), False) for w in GAZ_WORDS] + [
+    (f"ent:{a}_{b}", (a, b), False) for a, b in GAZ_PHRASES
+]
+GT_TRIPLES = [
+    ("ent:hash", "rel:pipes", "ent:join"),
+    ("ent:merge", "rel:pipes", "ent:sort"),
+    ("ent:sort", "rel:prec", "ent:merge"),
+    ("ent:scan", "rel:feeds", "ent:filter"),
+    ("ent:stream", "rel:feeds", "ent:window"),
+]
 
 # ---------------------------------------------------------------- helpers
 
@@ -431,6 +454,91 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 gazetteer dictionary matching (the reference's hot inner loop,
+    GazetteerMatcher.java:109-241) over the documents table."""
+    d = _docs(spark, sf_dir)
+    m = gazetteer.match_documents(d, GAZ_ENTRIES)
+    return m.select("doc_id", "entity_id", "char_start", "char_end")
+
+
+def _mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sents = mentions.sentences(d)
+    pairs = mentions.mention_pairs(sents, GAZ_ENTRIES)
+    triples = spark.createDataFrame(GT_TRIPLES, "arg1 string, rel string, arg2 string")
+    return mentions.relation_join(pairs, triples)
+
+
+def q_mention_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + M13 + J1: per-sentence entity-pair candidates with best
+    non-overlapping span pair, ARGONE/ARGTWO rewrite, GT relations."""
+    lab = _mention_pipeline(spark, sf_dir)
+    return lab.select(
+        "doc_id", "id1", "id2", "s1", "e1", "s2", "e2", "rewritten",
+        "relations", "is_positive",
+    )
+
+
+def q_mention_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + P3 + A4 + P5: pair-group stats with min-mention-set anti-join
+    and deduped set size."""
+    lab = _mention_pipeline(spark, sf_dir)
+    g = mentions.mention_groups(lab, min_mention_set=2)
+    return g.select("id1", "id2", "set_size", "positive")
+
+
+def q_mention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/D3 + D4: deterministic negative downsampling and train/val/test
+    split counts (java-Random parity kernels; pytest golden-vector
+    checked, rows-only here)."""
+    lab = _mention_pipeline(spark, sf_dir)
+    kept = mentions.downsample_negatives(lab, retain_prob=0.25)
+    g = mentions.assign_split(mentions.mention_groups(kept, min_mention_set=1))
+    return g.groupBy("split").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.col("positive").cast("int")).alias("n_positive"),
+    )
+
+
+def _fixture_docs(spark: SparkSession) -> DataFrame:
+    fd = fixtures.ensure_default(500)
+    return spark.read.parquet(str(fd / "documents_spans.parquet"))
+
+
+def q_w2v_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 w2v sentence rendering over interleaved span docs
+    (CreateW2VFile.java:53-80). Fixture-backed, rows-only."""
+    return spans.w2v_sentences(_fixture_docs(spark))
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 doc -> sub-documents with re-offset spans
+    (Document.java:418-441). Emits per-part span counts; the re-offset
+    invariant (first span at 0, order preserved) is pytest-checked."""
+    parts = spans.split_documents(_fixture_docs(spark), chunk=8)
+    return parts.select(
+        "doc_id", "part", F.size("spans").alias("n_spans"),
+        F.element_at("spans", 1)["offset"].alias("first_offset"),
+    )
+
+
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 sorted-span invariant audit over every fixture doc and over
+    every doc after M6 kind-projection — the span-sequence-equality
+    precondition."""
+    d = _fixture_docs(spark)
+    before = spans.spans_sorted_ok(d).agg(
+        F.count("*").alias("n_docs"), F.sum(F.col("ok").cast("int")).alias("n_sorted")
+    )
+    projected = spans.spans_sorted_ok(spans.filter_kinds(d, ["link", "media"])).agg(
+        F.count("*").alias("n_docs"), F.sum(F.col("ok").cast("int")).alias("n_sorted")
+    )
+    return before.withColumn("stage", F.lit("raw")).unionByName(
+        projected.withColumn("stage", F.lit("kind_projected"))
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -467,7 +575,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "host_counts": q_host_counts,
+        "gazetteer_mentions": q_gazetteer_mentions,
+        "mention_pairs": q_mention_pairs,
+        "mention_groups": q_mention_groups,
+        "mention_downsample": q_mention_downsample,
+        "w2v_lines": q_w2v_lines,
+        "doc_split": q_doc_split,
+        "span_invariant": q_span_invariant,
     }
+
+
+_GAZ_WORDS_SQL = "(" + ", ".join(f"'{w}'" for w in GAZ_WORDS) + ")"
+_GAZ_PHRASES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in GAZ_PHRASES)
+_TRIPLES_SQL = ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in GT_TRIPLES)
+
+# tokens with 1-based position and exact char offsets (single-space layout
+# verified by the Spark side's regex tokenizer on the same text)
+_MENTION_CTE = f"""
+  WITH sp AS (
+    SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+  ),
+  widx AS (
+    SELECT doc_id, text, w, unnest(range(1, len(w) + 1)) AS ord FROM sp
+  ),
+  toks AS (
+    SELECT doc_id, text, w[ord] AS word, CAST(ord AS INT) AS ord FROM widx
+  ),
+  offs AS (
+    SELECT doc_id, text, word, ord,
+           CAST(COALESCE(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY ord
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cstart
+    FROM toks
+  ),
+  ment AS (
+    SELECT doc_id, text, 'ent:' || word AS entity_id,
+           cstart, cstart + length(word) AS cend
+    FROM offs WHERE word IN {_GAZ_WORDS_SQL}
+    UNION ALL
+    SELECT a.doc_id, a.text, 'ent:' || a.word || '_' || b.word AS entity_id,
+           a.cstart, b.cstart + length(b.word) AS cend
+    FROM offs a JOIN offs b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL})
+  ),
+  rawpairs AS (
+    SELECT m1.doc_id, m1.text,
+           m1.entity_id AS id1, m2.entity_id AS id2,
+           m1.cstart AS s1, m1.cend AS e1, m2.cstart AS s2, m2.cend AS e2,
+           greatest(m2.cstart - m1.cend, m1.cstart - m2.cend) AS gap
+    FROM ment m1 JOIN ment m2
+      ON m1.doc_id = m2.doc_id AND m1.entity_id < m2.entity_id
+     AND (m1.cend <= m2.cstart OR m2.cend <= m1.cstart)
+  ),
+  best AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id, id1, id2 ORDER BY gap ASC, s1 ASC, s2 ASC) AS rn
+    FROM rawpairs
+  ),
+  rewritten AS (
+    SELECT doc_id, id1, id2, s1, e1, s2, e2,
+           CASE WHEN s1 <= s2
+             THEN text[1:s1] || 'ARGONE' || text[e1+1:s2] || 'ARGTWO' || text[e2+1:length(text)]
+             ELSE text[1:s2] || 'ARGTWO' || text[e2+1:s1] || 'ARGONE' || text[e1+1:length(text)]
+           END AS rewritten,
+           text
+    FROM best WHERE rn = 1
+  ),
+  triples(arg1, rel, arg2) AS (VALUES {_TRIPLES_SQL}),
+  labeled AS (
+    SELECT r.*, concat_ws(',', f.rel, '<' || rv.rel) AS relations,
+           concat_ws(',', f.rel, '<' || rv.rel) <> '' AS is_positive
+    FROM rewritten r
+    LEFT JOIN triples f ON f.arg1 = r.id1 AND f.arg2 = r.id2
+    LEFT JOIN triples rv ON rv.arg1 = r.id2 AND rv.arg2 = r.id1
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -643,5 +825,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_counts": _canon_cte(_RAW_URL_SQL) + """
             SELECT host_out AS host, count(*) AS n_urls FROM canon GROUP BY 1
+        """,
+        "gazetteer_mentions": _MENTION_CTE + """
+            SELECT doc_id, entity_id, cstart AS char_start, cend AS char_end
+            FROM ment
+        """,
+        "mention_pairs": _MENTION_CTE + """
+            SELECT doc_id, id1, id2, s1, e1, s2, e2, rewritten,
+                   relations, is_positive
+            FROM labeled
+        """,
+        "mention_groups": _MENTION_CTE + """
+            , dedup AS (
+              SELECT DISTINCT id1, id2, s1, e1, s2, e2, text, is_positive
+              FROM labeled
+            ),
+            stats AS (
+              SELECT id1, id2, count(*) AS n FROM labeled GROUP BY 1, 2
+            ),
+            grouped AS (
+              SELECT d.id1, d.id2, count(*) AS set_size,
+                     bool_or(d.is_positive) AS positive
+              FROM dedup d JOIN stats s ON s.id1 = d.id1 AND s.id2 = d.id2
+              WHERE s.n >= 2
+              GROUP BY 1, 2
+            )
+            SELECT id1, id2, set_size, positive FROM grouped
+            WHERE set_size >= 2
         """,
     }

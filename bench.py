@@ -53,6 +53,11 @@ BENCH_QUERIES = [
     "media_features",
     "events_hourly",
     "lineitem_pricing",
+    "gazetteer_mentions",
+    "mention_pairs",
+    "mention_groups",
+    "w2v_lines",
+    "doc_split",
 ]
 
 

@@ -1,0 +1,165 @@
+"""Multi-token dictionary (gazetteer) matching — the reference's hot
+inner loop (J3: ``nlp/.../parse/GazetteerMatcher.java:109-241``, entries
+bucketed token-by-token with a case-sensitivity re-check; naive oracle
+``GazetteerMatcher.java:247-273``; differential test pattern
+``nlp/src/test/.../parse/TestGazetteerMatcher.java:65-136``).
+
+Spark-first layout:
+* the gazetteer (small side) ships ONCE per executor via
+  ``SparkContext.broadcast`` of a first-token hash index — the
+  by-hand broadcast-join pattern the reference builds with
+  executor-singleton statics (``GazetteerEDL.java:72-93``);
+* matching runs inside ``mapInPandas`` (Arrow batches of documents,
+  token arrays vectorized per batch; the candidate-verify loop touches
+  only positions whose first token hits the index);
+* output is one row per match: (doc_id, entity_id, tok_start, tok_end,
+  char_start, char_end) — char spans use the same half-open [start,end)
+  convention as the reference's ``Span`` (``util/.../Span.java:27-40``).
+
+Longest-match-wins at each start position; overlapping shorter matches
+starting inside a longer match are still reported (the reference emits
+all matches and defers overlap cleanup to P12/PostGazClean).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MATCH_SCHEMA_TAIL = (
+    "entity_id string, tok_start int, tok_end int, char_start int, char_end int"
+)
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
+    """Whitespace tokens + char start/end (half-open) per token."""
+    toks, starts, ends = [], [], []
+    for m in _TOKEN_RE.finditer(text):
+        toks.append(m.group(0))
+        starts.append(m.start())
+        ends.append(m.end())
+    return toks, starts, ends
+
+
+class GazetteerIndex:
+    """First-token hash index over entries; pickles into a broadcast.
+
+    entries: iterable of (entity_id, tokens tuple, case_sensitive bool).
+    Case-insensitive entries are indexed lowercased and verified
+    lowercased; case-sensitive entries must match exactly (the
+    reference's re-check, GazetteerMatcher.java:119-133).
+    """
+
+    def __init__(self, entries):
+        self.by_first: dict[str, list[tuple[str, tuple[str, ...], bool]]] = {}
+        self.max_len = 1
+        for eid, toks, cs in entries:
+            toks = tuple(toks)
+            if not toks:
+                continue
+            key = toks[0] if cs else toks[0].lower()
+            self.by_first.setdefault(key, []).append((eid, toks, cs))
+            self.max_len = max(self.max_len, len(toks))
+
+    def match_tokens(self, toks: list[str]) -> list[tuple[str, int, int]]:
+        """All (entity_id, tok_start, tok_end) matches, longest-first per
+        start position."""
+        low = [t.lower() for t in toks]
+        out = []
+        n = len(toks)
+        for i in range(n):
+            cands = self.by_first.get(low[i])
+            cands_cs = self.by_first.get(toks[i])
+            merged = []
+            if cands:
+                merged.extend(e for e in cands if not e[2])
+            if cands_cs:
+                merged.extend(e for e in cands_cs if e[2])
+            if not merged:
+                continue
+            hits = []
+            for eid, etoks, cs in merged:
+                L = len(etoks)
+                if i + L > n:
+                    continue
+                if cs:
+                    ok = all(toks[i + j] == etoks[j] for j in range(L))
+                else:
+                    ok = all(low[i + j] == etoks[j].lower() for j in range(L))
+                if ok:
+                    hits.append((eid, i, i + L))
+            hits.sort(key=lambda h: (-(h[2] - h[1]), h[0]))
+            out.extend(hits)
+        return out
+
+
+def naive_match(entries, text: str) -> list[tuple[str, int, int]]:
+    """O(positions x entries) oracle — the reference's baselineProcess
+    (GazetteerMatcher.java:247-273). Same output contract as
+    GazetteerIndex.match_tokens; used only in differential tests."""
+    toks, _, _ = tokenize_with_offsets(text)
+    low = [t.lower() for t in toks]
+    out = []
+    for i in range(len(toks)):
+        hits = []
+        for eid, etoks, cs in entries:
+            etoks = tuple(etoks)
+            L = len(etoks)
+            if L == 0 or i + L > len(toks):
+                continue
+            if cs:
+                ok = all(toks[i + j] == etoks[j] for j in range(L))
+            else:
+                ok = all(low[i + j] == etoks[j].lower() for j in range(L))
+            if ok:
+                hits.append((eid, i, i + L))
+        hits.sort(key=lambda h: (-(h[2] - h[1]), h[0]))
+        out.extend(hits)
+    return out
+
+
+def match_documents(
+    docs: DataFrame,
+    entries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Annotate every document with gazetteer matches.
+
+    The index builds once per Python worker from a broadcast (executor
+    singleton, the RunPipelineSpark.java:46-51 lazy-init pattern);
+    matching streams Arrow batches.
+    """
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(list(entries))
+    cache: dict[int, GazetteerIndex] = {}
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"doc_id {id_type}, {_MATCH_SCHEMA_TAIL}"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = cache.get(id(bc))
+        if idx is None:
+            idx = GazetteerIndex(bc.value)
+            cache[id(bc)] = idx
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not text:
+                    continue
+                toks, starts, ends = tokenize_with_offsets(text)
+                for eid, ts, te in idx.match_tokens(toks):
+                    rows.append((did, eid, ts, te, starts[ts], ends[te - 1]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entity_id", "tok_start", "tok_end",
+                    "char_start", "char_end",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(process, schema)

@@ -1,0 +1,234 @@
+"""Relation-extraction mention pipeline — the reference's core dataset
+build re-expressed as declarative DataFrame ops:
+
+* sentence segmentation (explode; reference: Sentence annotations,
+  ``kbp/.../CreateTsvDataset.java:130-177``)
+* entity mentions via gazetteer (J3, :mod:`.gazetteer`)
+* ordered entity-pair candidates per sentence with best
+  (closest non-overlapping) span pair (F2 ``bestSpanPair``,
+  ``CreateTsvDataset.java:81-98``)
+* ARGONE/ARGTWO placeholder rewrite (M13, ``RelexMention.java:56-80``)
+* ground-truth relation lookup both directions with ``<`` prefix for the
+  reverse direction (J1, ``GroundTruth.getRelations``,
+  ``kbp/.../GroundTruth.java:341-355``)
+* deterministic negative downsampling (P2/D3, ``GroundTruth.java:213-241``)
+* per-pair grouping: count + positive flag (A3), min-mention-set anti-join
+  (P3/J4, ``RelexTsvDataset.java:187-199``), mention-set collection with
+  dedup by uniqueness string (A4, ``RelexTsvDataset.java:229-249``)
+* train/val/test split assignment by the D4 draw (``GroundTruth.java:184-205``)
+
+All set/join/group logic is native Catalyst (broadcast joins for the tiny
+GT side, anti-join for small groups, window for best-pair selection);
+Python appears only in the gazetteer Arrow pass and the D3/D4 parity
+draws.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.functions import parity
+from cc_dbp_spark.operators import gazetteer as gaz
+
+_udf_cache: dict[str, object] = {}
+
+
+def _neg_udf():
+    if "neg" not in _udf_cache:
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def fn(id1: pd.Series, id2: pd.Series) -> pd.Series:
+            return pd.Series(
+                parity.negative_downsample_priority(id1.fillna(""), id2.fillna(""))
+            )
+
+        _udf_cache["neg"] = fn
+    return _udf_cache["neg"]
+
+
+def _split_udf():
+    if "split" not in _udf_cache:
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def fn(id1: pd.Series, id2: pd.Series) -> pd.Series:
+            return pd.Series(parity.split_location(id1.fillna(""), id2.fillna("")))
+
+        _udf_cache["split"] = fn
+    return _udf_cache["split"]
+
+
+def sentences(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sent_id, sentence): split on sentence-final punctuation."""
+    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("sent_id", "sentence"),
+    ).filter(F.col("sentence") != "")
+
+
+def entity_mentions(sents: DataFrame, entries) -> DataFrame:
+    """Gazetteer matches per sentence: (doc_id, sent_id, entity_id,
+    tok/char spans) with sentence-local half-open char spans."""
+    keyed = sents.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("sent_id")).alias("skey"),
+        "sentence",
+    )
+    matched = gaz.match_documents(keyed, entries, id_col="skey", text_col="sentence")
+    return matched.select(
+        F.substring_index(F.col("doc_id"), "#", 1).cast("bigint").alias("doc_id"),
+        F.substring_index(F.col("doc_id"), "#", -1).cast("int").alias("sent_id"),
+        "entity_id",
+        "tok_start",
+        "tok_end",
+        "char_start",
+        "char_end",
+    )
+
+
+def mention_pairs(sents: DataFrame, entries) -> DataFrame:
+    """Best non-overlapping span pair per (sentence, id1<id2) with
+    ARGONE/ARGTWO placeholder rewrite. Columns: doc_id, sent_id, id1,
+    id2, s1, e1, s2, e2, sentence, rewritten."""
+    keyed = sents.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("sent_id")).alias("skey"),
+        "doc_id",
+        "sent_id",
+        "sentence",
+    )
+    ments = gaz.match_documents(
+        keyed.select("skey", "sentence"), entries, id_col="skey", text_col="sentence"
+    ).select(
+        F.col("doc_id").alias("skey"),
+        F.col("entity_id"),
+        F.col("char_start"),
+        F.col("char_end"),
+    )
+    m1 = ments.alias("m1")
+    m2 = ments.alias("m2")
+    pairs = (
+        m1.join(
+            m2,
+            (F.col("m1.skey") == F.col("m2.skey"))
+            & (F.col("m1.entity_id") < F.col("m2.entity_id"))
+            # non-overlapping spans only (bestSpanPair contract)
+            & (
+                (F.col("m1.char_end") <= F.col("m2.char_start"))
+                | (F.col("m2.char_end") <= F.col("m1.char_start"))
+            ),
+        )
+        .select(
+            F.col("m1.skey").alias("skey"),
+            F.col("m1.entity_id").alias("id1"),
+            F.col("m2.entity_id").alias("id2"),
+            F.col("m1.char_start").alias("s1"),
+            F.col("m1.char_end").alias("e1"),
+            F.col("m2.char_start").alias("s2"),
+            F.col("m2.char_end").alias("e2"),
+        )
+        .withColumn(
+            "gap",
+            F.greatest(
+                F.col("s2") - F.col("e1"), F.col("s1") - F.col("e2")
+            ),
+        )
+    )
+    w = Window.partitionBy("skey", "id1", "id2").orderBy(
+        F.col("gap").asc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    best = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
+        "__rn", "gap"
+    )
+    out = best.join(keyed, "skey").drop("skey")
+
+    sent = F.col("sentence")
+    first_is_1 = F.col("s1") <= F.col("s2")
+    sA = F.when(first_is_1, F.col("s1")).otherwise(F.col("s2"))
+    eA = F.when(first_is_1, F.col("e1")).otherwise(F.col("e2"))
+    sB = F.when(first_is_1, F.col("s2")).otherwise(F.col("s1"))
+    eB = F.when(first_is_1, F.col("e2")).otherwise(F.col("e1"))
+    tagA = F.when(first_is_1, F.lit("ARGONE")).otherwise(F.lit("ARGTWO"))
+    tagB = F.when(first_is_1, F.lit("ARGTWO")).otherwise(F.lit("ARGONE"))
+    rewritten = F.concat(
+        sent.substr(F.lit(1), sA),
+        tagA,
+        sent.substr(eA + 1, sB - eA),
+        tagB,
+        sent.substr(eB + 1, F.length(sent) - eB),
+    )
+    return out.select(
+        "doc_id", "sent_id", "id1", "id2", "s1", "e1", "s2", "e2",
+        "sentence", rewritten.alias("rewritten"),
+    )
+
+
+def relation_join(pairs: DataFrame, triples: DataFrame) -> DataFrame:
+    """Attach GT relations: forward (id1->id2) as-is, reverse prefixed
+    '<' (GroundTruth direction encoding, GroundTruth.java:45-46,341-355).
+    triples: (arg1, rel, arg2) — small, broadcast both probes."""
+    fwd = triples.select(
+        F.col("arg1").alias("id1"), F.col("arg2").alias("id2"), F.col("rel").alias("rel_fwd")
+    )
+    rev = triples.select(
+        F.col("arg2").alias("id1"), F.col("arg1").alias("id2"),
+        F.concat(F.lit("<"), F.col("rel")).alias("rel_rev"),
+    )
+    j = (
+        pairs.join(F.broadcast(fwd), ["id1", "id2"], "left")
+        .join(F.broadcast(rev), ["id1", "id2"], "left")
+        .withColumn(
+            "relations",
+            F.concat_ws(",", F.col("rel_fwd"), F.col("rel_rev")),
+        )
+        .withColumn("is_positive", F.col("relations") != "")
+        .drop("rel_fwd", "rel_rev")
+    )
+    return j
+
+
+def downsample_negatives(labeled: DataFrame, retain_prob: float) -> DataFrame:
+    """P2: keep positives, and negatives whose D3 draw < retain_prob
+    (deterministic content-keyed filter, GroundTruth.java:213-241)."""
+    draw = _neg_udf()(F.col("id1"), F.col("id2"))
+    return labeled.filter(F.col("is_positive") | (draw < F.lit(retain_prob)))
+
+
+def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:
+    """A3 + P3 + A4 + P5: per (id1,id2) group stats, drop small groups
+    via left-anti join, collect the deduped mention set."""
+    stats = labeled.groupBy("id1", "id2").agg(
+        F.count("*").alias("n_mentions"),
+        F.max(F.col("is_positive").cast("int")).cast("boolean").alias("positive"),
+    )
+    small = stats.filter(F.col("n_mentions") < min_mention_set).select("id1", "id2")
+    kept = labeled.join(small, ["id1", "id2"], "left_anti")
+    # dedup BEFORE grouping on the uniqueness string (span1+span2+sentence,
+    # RelexMention.java:172-218 — dropDuplicates is the cleaner equivalent)
+    uniq = kept.withColumn(
+        "__u",
+        F.concat_ws(
+            "|",
+            F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"), F.col("sentence"),
+        ),
+    ).dropDuplicates(["id1", "id2", "__u"])
+    grouped = (
+        uniq.groupBy("id1", "id2")
+        .agg(
+            F.count("*").alias("set_size"),
+            F.max(F.col("is_positive").cast("int")).cast("boolean").alias("positive"),
+            F.sort_array(F.collect_list(F.col("rewritten"))).alias("contexts"),
+        )
+        .filter(F.col("set_size") >= min_mention_set)
+    )
+    return grouped
+
+
+def assign_split(groups: DataFrame, cdf=(0.8, 0.9, 1.0)) -> DataFrame:
+    """D4: train/val/test by the deterministic SPLIT draw over the
+    ordered pair + CDF bucket (GroundTruth.java:184-205)."""
+    draw = _split_udf()(F.col("id1"), F.col("id2"))
+    buckets = F.when(draw < cdf[0], "train").when(draw < cdf[1], "val").otherwise("test")
+    return groups.withColumn("split", buckets)

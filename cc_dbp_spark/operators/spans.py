@@ -1,0 +1,113 @@
+"""Span-array operators over the interleaved documents table
+``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` — all
+native array expressions (no Python in the plan).
+
+Reference semantics:
+* sorted-span invariant (T2): annotations kept sorted by offset,
+  ``nlp/.../Document.java:343-376``;
+* annotation-type projection (M6): keep only configured kinds,
+  ``corpus/.../crawl/SaveCommonCrawlBase.java:77-87,147``;
+* doc -> sub-documents with re-offset annotations (F7),
+  ``nlp/.../Document.java:418-441``;
+* w2v sentence rendering (F5): texty spans sorted, lowercased,
+  whitespace -> ``_``, ``spark/.../CreateW2VFile.java:53-80``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TEXTY_KINDS = ("text", "title", "paragraph", "section_header")
+
+
+def sort_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Enforce the writer invariant: spans sorted by (offset, kind)."""
+    return docs.withColumn(
+        spans_col,
+        F.expr(
+            f"array_sort({spans_col}, (a, b) -> CASE"
+            " WHEN a.offset < b.offset THEN -1 WHEN a.offset > b.offset THEN 1"
+            " WHEN a.kind < b.kind THEN -1 WHEN a.kind > b.kind THEN 1 ELSE 0 END)"
+        ),
+    )
+
+
+def spans_sorted_ok(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """(doc_id, ok): true iff offsets are non-decreasing — the
+    span-sequence equality precondition checked after every operator."""
+    n = F.size(F.col(spans_col))
+    idx = F.sequence(F.lit(0), n - 2)
+    bad = F.exists(
+        idx,
+        lambda i: F.element_at(F.col(spans_col), i + 1)["offset"]
+        > F.element_at(F.col(spans_col), i + 2)["offset"],
+    )
+    return docs.select("doc_id", F.when(n <= 1, F.lit(True)).otherwise(~bad).alias("ok"))
+
+
+def filter_kinds(docs: DataFrame, kinds, spans_col: str = "spans") -> DataFrame:
+    """M6 annotation-type projection: keep only spans of the given kinds
+    (order within the array is preserved)."""
+    kind_arr = F.array(*[F.lit(k) for k in kinds])
+    return docs.withColumn(
+        spans_col,
+        F.filter(F.col(spans_col), lambda s: F.array_contains(kind_arr, s["kind"])),
+    )
+
+
+def split_documents(docs: DataFrame, chunk: int, spans_col: str = "spans") -> DataFrame:
+    """F7 doc -> sub-documents: split the span array into chunks of
+    `chunk` spans; each sub-doc's spans re-offset so its first span
+    starts at 0 (Document.java:418-441 re-offset contract).
+
+    Output: (doc_id, part, spans) with doc_id suffixed ``#part``.
+    """
+    n = F.size(F.col(spans_col))
+    nparts = F.ceil(n / F.lit(chunk)).cast("int")
+    parts = F.sequence(F.lit(0), F.greatest(nparts - 1, F.lit(0)))
+    exploded = docs.select(
+        "doc_id", F.col(spans_col).alias("__s"), F.explode(parts).alias("part")
+    )
+    piece = F.slice(F.col("__s"), F.col("part") * chunk + 1, chunk)
+    base = F.element_at(piece, 1)["offset"]
+    reoff = F.transform(
+        piece,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            (s["offset"] - base).cast("int").alias("offset"),
+        ),
+    )
+    return exploded.select(
+        F.concat_ws("#", "doc_id", "part").alias("doc_id"),
+        "part",
+        reoff.alias("spans"),
+    ).filter(F.size("spans") > 0)
+
+
+def w2v_sentences(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """F5: one training line per doc — texty spans in offset order,
+    lowercased, intra-span whitespace joined with ``_``."""
+    texty = F.filter(
+        F.col(spans_col),
+        lambda s: F.array_contains(F.array(*[F.lit(k) for k in TEXTY_KINDS]), s["kind"])
+        & (s["text"] != ""),
+    )
+    words = F.transform(
+        texty, lambda s: F.regexp_replace(F.lower(s["text"]), r"\s+", "_")
+    )
+    return docs.select("doc_id", F.concat_ws(" ", words).alias("line")).filter(
+        F.col("line") != ""
+    )
+
+
+def outlink_edges(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """(src doc_id, dst media_ref) edge list from link spans — the
+    LinkAnnotation.target surface that feeds the frontier."""
+    return (
+        docs.select("doc_id", F.explode(spans_col).alias("s"))
+        .filter((F.col("s.kind") == "link") & F.col("s.media_ref").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("s.media_ref").alias("dst"))
+    )

@@ -1,0 +1,116 @@
+"""Mention pipeline: hand-checked small cases + invariants of the
+grouping/downsampling stages (reference semantics cited in
+cc_dbp_spark/operators/mentions.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cc_dbp_spark.functions import parity
+from cc_dbp_spark.operators import mentions as M
+
+ENTRIES = [
+    ("ent:hash", ("hash",), False),
+    ("ent:join", ("join",), False),
+    ("ent:sort", ("sort",), False),
+    ("ent:hashjoin", ("hash", "join"), False),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "hash join beats sort. sort wins"),
+        (2, "hash then join then hash again"),
+        (3, "nothing here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_sentences_split(spark, docs):
+    s = M.sentences(docs).collect()
+    by_doc = {}
+    for r in s:
+        by_doc.setdefault(r.doc_id, []).append((r.sent_id, r.sentence))
+    assert by_doc[1] == [(0, "hash join beats sort."), (1, "sort wins")]
+    assert by_doc[3] == [(0, "nothing here")]
+
+
+def test_mention_pairs_best_span_and_rewrite(spark, docs):
+    sents = M.sentences(docs)
+    pairs = {((r.doc_id, r.sent_id, r.id1, r.id2)): r for r in M.mention_pairs(sents, ENTRIES).collect()}
+    # doc 2: "hash then join then hash again" — ent:hash at 0-4 and 20-24,
+    # ent:join at 10-14; best hash-join pair is the closest: (10,14) vs (0,4)
+    r = pairs[(2, 0, "ent:hash", "ent:join")]
+    assert (r.s1, r.e1, r.s2, r.e2) == (0, 4, 10, 14)
+    assert r.rewritten == "ARGONE then ARGTWO then hash again"
+    # doc 1 sent 0: tokens keep punctuation ("sort." != "sort"), so the
+    # only non-overlapping pair is hash(0,4) x join(5,9); hashjoin(0,9)
+    # overlaps both and pairs with nothing
+    r2 = pairs[(1, 0, "ent:hash", "ent:join")]
+    assert r2.rewritten == "ARGONE ARGTWO beats sort."
+    assert (1, 0, "ent:join", "ent:sort") not in pairs
+    # sent 1 "sort wins" has one entity -> no pairs
+    assert not any(k[0] == 1 and k[1] == 1 for k in pairs)
+
+
+def test_relation_join_directions(spark, docs):
+    sents = M.sentences(docs)
+    pairs = M.mention_pairs(sents, ENTRIES)
+    triples = spark.createDataFrame(
+        [("ent:join", "rel:after", "ent:hash"), ("ent:hash", "rel:x", "ent:join")],
+        "arg1 string, rel string, arg2 string",
+    )
+    lab = {(r.id1, r.id2): r.relations for r in M.relation_join(pairs, triples).collect()}
+    # pair ordered (ent:hash, ent:join): hash->join is FORWARD, join->hash
+    # is REVERSE ('<' prefix); both attach
+    assert lab[("ent:hash", "ent:join")] == "rel:x,<rel:after"
+
+
+def test_downsample_matches_kernel(spark, docs):
+    sents = M.sentences(docs)
+    pairs = M.mention_pairs(sents, ENTRIES)
+    triples = spark.createDataFrame(
+        [("ent:hash", "rel:x", "ent:join")], "arg1 string, rel string, arg2 string"
+    )
+    lab = M.relation_join(pairs, triples)
+    kept = M.downsample_negatives(lab, 0.4).collect()
+    for r in kept:
+        if not r.is_positive:
+            draw = parity.negative_downsample_priority([r.id1], [r.id2])[0]
+            assert draw < 0.4
+    # every positive survives
+    pos = [r for r in lab.collect() if r.is_positive]
+    assert len([r for r in kept if r.is_positive]) == len(pos)
+
+
+def test_mention_groups_and_split(spark, docs):
+    sents = M.sentences(docs)
+    pairs = M.mention_pairs(sents, ENTRIES)
+    triples = spark.createDataFrame(
+        [("ent:hash", "rel:x", "ent:join")], "arg1 string, rel string, arg2 string"
+    )
+    lab = M.relation_join(pairs, triples)
+    groups = M.assign_split(M.mention_groups(lab, min_mention_set=1)).collect()
+    by_pair = {(g.id1, g.id2): g for g in groups}
+    g = by_pair[("ent:hash", "ent:join")]
+    assert g.positive and g.set_size >= 1
+    for gg in groups:
+        want = parity.sample_from_cdf(
+            parity.split_location([gg.id1], [gg.id2]), [0.8, 0.9, 1.0]
+        )[0]
+        assert gg.split == ["train", "val", "test"][want]
+
+
+def test_group_min_set_anti_join(spark):
+    # synthetic: pair A appears 3x, pair B once -> B dropped at min=2
+    rows = [
+        (1, 0, "a", "b", 0, 1, 2, 3, f"s{i}", f"r{i}", False) for i in range(3)
+    ] + [(2, 0, "c", "d", 0, 1, 2, 3, "s", "r", True)]
+    lab = spark.createDataFrame(
+        rows,
+        "doc_id bigint, sent_id int, id1 string, id2 string, s1 int, e1 int, "
+        "s2 int, e2 int, sentence string, rewritten string, is_positive boolean",
+    )
+    got = {(g.id1, g.id2) for g in M.mention_groups(lab, min_mention_set=2).collect()}
+    assert got == {("a", "b")}

@@ -1,0 +1,120 @@
+"""Span operators (sort invariant, kind projection, doc split re-offset,
+w2v lines) + source/sink contracts (fail-if-exists, rotation, splits,
+NTriples/TSV scans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.operators import spans as S
+from cc_dbp_spark.sources import io as sio
+
+SPANS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (
+            "d1",
+            [
+                ("title", "Hello World", None, 0),
+                ("text", "some body", None, 13),
+                ("link", "click", "http://x/a", 23),
+                ("media", "", "http://x/i.jpg", 29),
+                ("paragraph", "More Text", None, 30),
+            ],
+        ),
+        ("d2", [("text", "only", None, 0)]),
+        ("d3", []),
+    ]
+    return spark.createDataFrame(rows, SPANS_SCHEMA)
+
+
+def test_sort_and_invariant(spark, docs):
+    shuffled = docs.withColumn("spans", F.reverse("spans"))
+    assert {r.ok for r in S.spans_sorted_ok(shuffled).collect() if r.doc_id == "d1"} == {False}
+    fixed = S.sort_spans(shuffled)
+    assert all(r.ok for r in S.spans_sorted_ok(fixed).collect())
+
+
+def test_filter_kinds_preserves_order(spark, docs):
+    out = {r.doc_id: r.spans for r in S.filter_kinds(docs, ["link", "media"]).collect()}
+    assert [s.kind for s in out["d1"]] == ["link", "media"]
+    assert out["d2"] == []
+
+
+def test_split_documents_reoffsets(spark, docs):
+    parts = {r.doc_id: r for r in S.split_documents(docs, chunk=2).collect()}
+    assert set(parts) == {"d1#0", "d1#1", "d1#2", "d2#0"}
+    p1 = parts["d1#1"]
+    # spans 3-4 (link@23, media@29) re-based to 0
+    assert [(s.kind, s.offset) for s in p1.spans] == [("link", 0), ("media", 6)]
+    assert all(r.spans[0].offset == 0 for r in parts.values())
+
+
+def test_w2v_sentences(spark, docs):
+    lines = {r.doc_id: r.line for r in S.w2v_sentences(docs).collect()}
+    assert lines["d1"] == "hello_world some_body more_text"
+    assert lines["d2"] == "only"
+    assert "d3" not in lines
+
+
+def test_outlink_edges(spark, docs):
+    edges = {(r.src, r.dst) for r in S.outlink_edges(docs).collect()}
+    assert edges == {("d1", "http://x/a")}
+
+
+def test_write_modes(spark, tmp_path):
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    out = str(tmp_path / "t1")
+    sio.write_table(df, out)
+    with pytest.raises(sio.OutputExistsError):
+        sio.write_table(df, out)
+    sio.write_table(df, out, overwrite=True)  # explicit overwrite ok
+    assert sio.read_table(spark, out).count() == 10
+
+
+def test_write_rotating(spark, tmp_path):
+    df = spark.range(100).coalesce(1)
+    out = str(tmp_path / "rot")
+    sio.write_rotating(df, out, max_records_per_file=30)
+    files = [p for p in (tmp_path / "rot").glob("*.parquet")]
+    assert len(files) >= 4  # ceil(100/30)
+
+
+def test_write_split_dataset(spark, tmp_path):
+    df = spark.range(30).select(
+        "id", F.when(F.col("id") % 10 < 8, "train").otherwise("test").alias("split")
+    )
+    out = str(tmp_path / "ds")
+    sio.write_split_dataset(df, out)
+    assert (tmp_path / "ds" / "split=train").exists()
+    back = sio.read_table(spark, out)
+    assert back.filter(F.col("split") == "train").count() == 24
+
+
+def test_read_ntriples(spark, tmp_path):
+    p = tmp_path / "t.nt"
+    p.write_text(
+        "<http://a> <http://rel/x> <http://b> .\n"
+        "# comment\n"
+        "\n"
+        '<http://c> <http://rel/y> "lit\\"eral" .\n'
+    )
+    rows = {(r.arg1, r.rel, r.arg2) for r in sio.read_ntriples(spark, str(p)).collect()}
+    assert rows == {
+        ("http://a", "http://rel/x", "http://b"),
+        ("http://c", "http://rel/y", 'lit\\"eral'),
+    }
+
+
+def test_read_simple_tsv(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("a\t1\tx\nb\t2\ty\n")
+    rows = sio.read_simple_tsv(spark, str(p), ["k", "n", "v"]).collect()
+    assert {(r.k, r.n, r.v) for r in rows} == {("a", "1", "x"), ("b", "2", "y")}
