@@ -27,11 +27,19 @@ from cc_dbp_spark.operators import (
     dedup,
     frontier,
     gazetteer,
+    kb,
     mentions,
     multimodal,
     similarity,
     spans,
 )
+from cc_dbp_spark.sources import serde
+
+TAXONOMY_CLOSURE = [
+    ("rel:pipes", "rel:related"),
+    ("rel:feeds", "rel:related"),
+    ("rel:feeds", "rel:dataflow"),
+]
 
 # deterministic gazetteer + ground truth over the testdata vocabulary
 # (reference shape: BuildGazetteer entries + GroundTruth triples)
@@ -539,6 +547,73 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    label = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("LAB")).otherwise(F.lit("lab")),
+        (F.col("doc_id") % 37).cast("string"),
+    )
+    return d.select(
+        F.concat(F.lit("n"), F.col("doc_id")).alias("id"),
+        label.alias("label"),
+        F.col("n_chars").cast("double").alias("popularity"),
+    )
+
+
+def q_label_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 label-collision merge: ids sharing a lowercased label remap to
+    the most popular id (MergeNodesDBpedia.java:57-90)."""
+    return kb.merge_label_collisions(_nodes_df(spark, sf_dir))
+
+
+def q_uri_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 URI -> label (url-decode, underscores, trailing parenthetical;
+    ConvertDBpedia.java:446-452)."""
+    d = _docs(spark, sf_dir)
+    uri = F.concat(
+        F.lit("http://kb.example/resource/Item_"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("_(thing)")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", kb.uri_to_label(uri).alias("label"))
+
+
+def q_select_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 top-N frequent types with a minimum size (SelectTypes)."""
+    d = _docs(spark, sf_dir)
+    types = d.select("doc_id", F.col("source").alias("type"))
+    return kb.select_types(types, max_types=5, min_size=10)
+
+
+def q_taxonomy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 triples x relation-taxonomy closure expansion."""
+    triples = spark.createDataFrame(GT_TRIPLES, "arg1 string, rel string, arg2 string")
+    closure = spark.createDataFrame(TAXONOMY_CLOSURE, "rel string, super_rel string")
+    return kb.taxonomy_expand(triples, closure)
+
+
+def q_doc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2 one-doc-per-line JSON serialize/deserialize round trip with
+    span-sequence equality audit (TestJSON pattern)."""
+    d = _fixture_docs(spark)
+    back = serde.docs_from_json_lines(serde.docs_to_json_lines(d))
+    j = d.alias("a").join(back.alias("b"), "doc_id")
+    same = F.sum(
+        (F.col("a.spans") == F.col("b.spans")).cast("int")
+    ).alias("n_roundtrip_equal")
+    return j.agg(F.count("*").alias("n_docs"), same)
+
+
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC cash-propagation priority over the fixture link graph
+    (NodePopularity.java:33-58 shape). Iterative -> rows-only check."""
+    edges = spans.outlink_edges(_fixture_docs(spark)).select(
+        "src", canonicalize_col(F.col("dst")).alias("dst")
+    )
+    scores = kb.opic_scores(edges, n_rounds=2)
+    return scores.select("node", F.round("history", 8).alias("history"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -582,6 +657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2v_lines": q_w2v_lines,
         "doc_split": q_doc_split,
         "span_invariant": q_span_invariant,
+        "label_merge": q_label_merge,
+        "uri_labels": q_uri_labels,
+        "select_types": q_select_types,
+        "taxonomy_expand": q_taxonomy_expand,
+        "doc_json_roundtrip": q_doc_json_roundtrip,
+        "opic_scores": q_opic_scores,
     }
 
 
@@ -834,6 +915,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, id1, id2, s1, e1, s2, e2, rewritten,
                    relations, is_positive
             FROM labeled
+        """,
+        "label_merge": """
+            WITH nodes AS (
+              SELECT 'n' || doc_id AS id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'LAB' ELSE 'lab' END)
+                       || (doc_id % 37) AS label,
+                     CAST(n_chars AS DOUBLE) AS popularity
+              FROM documents
+            ),
+            canon AS (
+              SELECT lower(label) AS lab, id,
+                     row_number() OVER (PARTITION BY lower(label)
+                       ORDER BY popularity DESC, id ASC) AS rn
+              FROM nodes
+            )
+            SELECT n.id, c.id AS canonical_id
+            FROM nodes n JOIN canon c ON lower(n.label) = c.lab AND c.rn = 1
+        """,
+        "uri_labels": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://kb.example/resource/Item_' || doc_id ||
+                     (CASE WHEN doc_id % 3 = 0 THEN '_(thing)' ELSE '' END) AS uri
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     replace(string_split(uri, '/')[-1], '_', ' '),
+                     '\\s*\\([^)]*\\)\\s*$', '') AS label
+            FROM u
+        """,
+        "select_types": """
+            WITH c AS (
+              SELECT source AS type, count(*) AS n_members
+              FROM documents GROUP BY 1 HAVING count(*) >= 10
+            )
+            SELECT type, n_members FROM c
+            ORDER BY n_members DESC, type ASC LIMIT 5
+        """,
+        "taxonomy_expand": f"""
+            WITH triples(arg1, rel, arg2) AS (VALUES {_TRIPLES_SQL}),
+            closure(rel, super_rel) AS (VALUES {
+                ", ".join(f"('{a}', '{b}')" for a, b in TAXONOMY_CLOSURE)
+            }),
+            ex AS (
+              SELECT arg1, rel, arg2 FROM triples
+              UNION
+              SELECT t.arg1, c.super_rel AS rel, t.arg2
+              FROM triples t JOIN closure c ON c.rel = t.rel
+            )
+            SELECT DISTINCT arg1, rel, arg2 FROM ex
         """,
         "mention_groups": _MENTION_CTE + """
             , dedup AS (

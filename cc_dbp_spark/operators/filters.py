@@ -133,6 +133,60 @@ def prune_with_bloom(candidates_df, bloom_df, spec: BloomSpec, hash_col: str = "
     return new, maybe
 
 
+def build_cuckoo_df(seen_df, capacity_per_partition: int, num_partitions: int = 16,
+                    hash_col: str = "url_hash"):
+    """Distributed partitioned cuckoo build: groupBy(pid) -> one serialized
+    filter row per hash partition (same lifecycle as the bloom: snapshot
+    to parquet, reload, cogroup-probe). Returns (pid int, table binary)."""
+    from pyspark.sql import functions as F
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(capacity_per_partition)
+        cf.insert(pdf[hash_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"pid": [key[0]], "table": [cf.to_bytes()]})
+
+    with_pid = seen_df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int")
+    )
+    return with_pid.groupBy("pid").applyInPandas(_build, "pid int, table binary")
+
+
+def prune_with_cuckoo(candidates_df, cuckoo_df, num_partitions: int = 16,
+                      hash_col: str = "url_hash"):
+    """Split candidates into (definitely_new, maybe_seen) via cogrouped
+    cuckoo probe — advisory exactly like the bloom path: false positives
+    fall through to the exact anti-join, so the seen-set decision stays
+    exact. Unlike bloom, the cuckoo filter also supports delete (URL
+    re-crawl eviction) on the snapshot."""
+    from pyspark.sql import functions as F
+
+    cols = candidates_df.columns
+    cand = candidates_df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int")
+    )
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cand.schema.fields)
+    out_schema += ", maybe_seen boolean"
+
+    def _probe(key, cand_pdf: pd.DataFrame, ck_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(ck_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            cf = CuckooFilter.from_bytes(ck_pdf["table"].iloc[0])
+            maybe = cf.contains(cand_pdf[hash_col].to_numpy(dtype=np.int64))
+        return cand_pdf.assign(maybe_seen=maybe)
+
+    probed = (
+        cand.groupBy("pid")
+        .cogroup(cuckoo_df.groupBy("pid"))
+        .applyInPandas(_probe, out_schema)
+    )
+    new = probed.filter(~F.col("maybe_seen")).select(*cols)
+    maybe = probed.filter(F.col("maybe_seen")).select(*cols)
+    return new, maybe
+
+
 # ------------------------------------------------------------------ cuckoo
 
 class CuckooFilter:

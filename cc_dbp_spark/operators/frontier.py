@@ -50,6 +50,7 @@ class CrawlConfig:
     default_crawl_delay_s: float = 1.0
     max_rounds: int = 10
     use_bloom: bool = True
+    filter_kind: str = "bloom"  # "bloom" | "cuckoo" (both advisory/prune-only)
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 0.01
     bloom_partitions: int = 16
@@ -224,11 +225,18 @@ def _merge_candidates(
 
     if seen_nonempty is None:
         seen_nonempty = not seen.isEmpty()
-    # membership test: bloom prunes, exact anti-join confirms
+    # membership test: approximate filter prunes, exact anti-join confirms
     if cfg.use_bloom and seen_nonempty:
-        spec = flt.BloomSpec(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions)
-        bloom = build_bloom(seen, spec)
-        definitely_new, maybe = flt.prune_with_bloom(agg, bloom, spec)
+        if cfg.filter_kind == "cuckoo":
+            per_part = max(1024, cfg.bloom_capacity // cfg.bloom_partitions)
+            ck = flt.build_cuckoo_df(seen, per_part, cfg.bloom_partitions)
+            definitely_new, maybe = flt.prune_with_cuckoo(
+                agg, ck, cfg.bloom_partitions
+            )
+        else:
+            spec = flt.BloomSpec(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions)
+            bloom = build_bloom(seen, spec)
+            definitely_new, maybe = flt.prune_with_bloom(agg, bloom, spec)
         confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
         new_urls = definitely_new.unionByName(confirmed_new)
     else:

@@ -1,0 +1,138 @@
+"""Knowledge-base assembly operators (reference `kb` module shapes):
+
+* literal cleaning (M10, ``kb/.../conversion/ConvertDBpedia.java:286-311``)
+* URI -> human label (M11, ``ConvertDBpedia.java:446-452``)
+* label-collision merge to the most popular node (J7,
+  ``kb/.../conversion/MergeNodesDBpedia.java:57-90``)
+* top-N frequent types (T4, ``kb/.../SelectTypes.java``)
+* triples x relation-taxonomy expansion (J8,
+  ``kb/.../BuildGroundTruth.java:45-47`` + ``kb/.../RelationTaxonomy.java``)
+* OPIC-style cash propagation over the link graph — the reference's
+  ``NodePopularity`` two-pass score spreading
+  (``kb/.../NodePopularity.java:33-58``) generalized to the iterative
+  cash/history scheme that feeds frontier priority.
+
+Everything is native DataFrame ops; the iterative OPIC loop checkpoints
+per round (same lineage-truncation discipline as the crawl driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_literal(col, max_len: int = 40):
+    """M10-shaped literal normalization: drop a trailing parenthetical,
+    collapse whitespace to ``_``, lowercase, strip leading/trailing
+    punctuation; NULL when longer than `max_len` or empty."""
+    c = F.regexp_replace(col, r"\s*\([^)]*\)\s*$", "")
+    c = F.lower(F.trim(c))
+    c = F.regexp_replace(c, r"^[\s\p{Punct}]+|[\s\p{Punct}]+$", "")
+    c = F.regexp_replace(c, r"\s+", "_")
+    return F.when((c != "") & (F.length(c) <= max_len), c)
+
+
+def uri_to_label(col):
+    """M11: last path segment, url-decoded, ``_`` -> space, trailing
+    parenthetical stripped."""
+    seg = F.substring_index(col, "/", -1)
+    dec = F.regexp_replace(F.url_decode(seg), "_", " ")
+    return F.regexp_replace(dec, r"\s*\([^)]*\)\s*$", "")
+
+
+def merge_label_collisions(nodes: DataFrame) -> DataFrame:
+    """J7: nodes (id, label, popularity) sharing a lowercased label merge
+    into the most popular id (ties -> smallest id). Returns the remap
+    (id, canonical_id) covering every input id."""
+    from pyspark.sql import Window
+
+    low = F.lower(F.col("label"))
+    labeled = nodes.withColumn("lab", low)
+    w = Window.partitionBy("lab").orderBy(F.col("popularity").desc(), F.col("id").asc())
+    canon = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("lab", F.col("id").alias("canonical_id"))
+    )
+    return labeled.join(canon, "lab").select("id", "canonical_id")
+
+
+def select_types(types_df: DataFrame, max_types: int, min_size: int) -> DataFrame:
+    """T4: keep at most `max_types` types with >= `min_size` members,
+    most frequent first (ties -> type name ascending)."""
+    return (
+        types_df.groupBy("type")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= min_size)
+        .orderBy(F.col("n_members").desc(), F.col("type").asc())
+        .limit(max_types)
+    )
+
+
+def taxonomy_expand(triples: DataFrame, closure: DataFrame) -> DataFrame:
+    """J8: emit one triple per (rel itself + every super-relation in the
+    transitive closure). closure: (rel, super_rel)."""
+    supers = triples.join(F.broadcast(closure), "rel").select(
+        "arg1", F.col("super_rel").alias("rel"), "arg2"
+    )
+    return triples.select("arg1", "rel", "arg2").unionByName(supers).distinct()
+
+
+def opic_scores(edges: DataFrame, n_rounds: int = 2, damping: float = 0.85) -> DataFrame:
+    """OPIC-style cash propagation over (src, dst) edges.
+
+    Each round every node distributes its cash across its out-edges
+    (NodePopularity's score spreading); `history` accumulates distributed
+    cash and is the popularity/priority signal. Dangling mass and the
+    (1-damping) share recirculate uniformly. Returns (node, history).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    state = nodes.withColumn("cash", F.lit(1.0 / n))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    history = nodes.withColumn("history", F.lit(0.0))
+    for _ in range(n_rounds):
+        flow = (
+            state.join(outdeg, state["node"] == outdeg["src"], "left")
+            .select(
+                "node", "cash",
+                F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+            )
+        )
+        transfers = (
+            flow.filter(F.col("outdeg") > 0)
+            .join(edges, flow["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cash") * damping / F.col("outdeg")).alias("inflow"),
+            )
+            .groupBy("node")
+            .agg(F.sum("inflow").alias("inflow"))
+        )
+        dangling = (
+            flow.filter(F.col("outdeg") == 0).agg(F.sum("cash")).collect()[0][0] or 0.0
+        )
+        total = flow.agg(F.sum("cash")).collect()[0][0] or 0.0
+        uniform = ((1.0 - damping) * total + damping * dangling) / n
+        history = (
+            history.join(state.select("node", "cash"), "node")
+            .select("node", (F.col("history") + F.col("cash")).alias("history"))
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            nodes.join(transfers, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(uniform)).alias("cash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return history.join(state, "node").select(
+        "node", (F.col("history") + F.col("cash")).alias("history")
+    )

@@ -120,6 +120,30 @@ def test_salted_topk_equals_plain(spark, fixture_dir):
     assert p == s
 
 
+def test_cuckoo_filter_path_matches_oracle(spark, fixture_dir, oracle_result):
+    """Same crawl with the cuckoo membership filter instead of bloom —
+    identical ordering + seen set (filters are advisory; the exact
+    anti-join confirms every 'maybe')."""
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    cfg = fr.CrawlConfig(
+        round_budget_s=3.0, max_rounds=4, use_bloom=True,
+        filter_kind="cuckoo", bloom_capacity=1 << 14, bloom_partitions=4,
+    )
+    res = fr.CrawlDriver(spark, robots, docs, cfg).run(seeds)
+    got = [
+        (r["round"], r["position"], r["url"])
+        for r in res["schedule"].orderBy("round", "position").collect()
+    ]
+    assert got == oracle_result.schedule_log
+    got_seen = {
+        r["url"]: r["round_seen"]
+        for r in res["state"]["seen"].select("url", "round_seen").collect()
+    }
+    assert got_seen == oracle_result.seen
+
+
 def test_resume_equals_straight_run(spark, fixture_dir, tmp_path_factory):
     """Kill-after-round-k resume: checkpointed run == uninterrupted run."""
     docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
