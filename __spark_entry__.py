@@ -33,6 +33,7 @@ from cc_dbp_spark.operators import (
     similarity,
     spans,
 )
+from cc_dbp_spark.operators import html as htmlops
 from cc_dbp_spark.sources import serde
 
 TAXONOMY_CLOSURE = [
@@ -614,6 +615,71 @@ def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("node", F.round("history", 8).alias("history"))
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4 HTML -> interleaved span docs (HtmlToDocument.java:28-71
+    title-shift contract) over deterministically synthesized pages;
+    exploded to one row per span so the whole extraction is
+    oracle-checkable analytically."""
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" "),
+        F.col("doc_id").cast("string"), F.lit("</title></head><body><p>"),
+        F.col("text"), F.lit("</p><a href=\"http://"), F.col("source"),
+        F.lit(".ex.com/p/"), F.col("doc_id").cast("string"),
+        F.lit("\">more</a></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.encode(page, "UTF-8").alias("payload"),
+    )
+    docs = htmlops.html_to_documents(pages)
+    return docs.select(
+        "doc_id", "charset", F.posexplode("spans").alias("span_idx", "s")
+    ).select(
+        "doc_id", "charset", "span_idx",
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
+    )
+
+
+def q_vocab_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 vocab auto-tune: ladder histogram + smallest threshold whose
+    surviving vocabulary fits the limit (GatherRelexVocab.java:141-191)."""
+    d = _docs(spark, sf_dir)
+    w = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    counts = (
+        w.filter(F.col("word") != "").groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    mc, kept = ts.choose_vocab_min_count(counts, vocab_limit=20)
+    return kept.select(F.lit(mc).alias("min_count"), "word", "cnt")
+
+
+def q_relex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 per-relation + total mention stats rollup."""
+    lab = _mention_pipeline(spark, sf_dir)
+    return mentions.relex_stats(lab)
+
+
+def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 round-robin mention-set chunking + M14 base64 line encoding
+    (round-trip pytest-checked; rows-only here)."""
+    lab = _mention_pipeline(spark, sf_dir)
+    groups = mentions.mention_groups(lab, min_mention_set=2)
+    return mentions.encode_tensor_lines(mentions.tensor_chunks(groups, max_mention_set=5))
+
+
+def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/D2 deterministic content-keyed document downsample
+    (pseudoRandomFromString('SAMPLEDOC'+text) < frac; golden-vector
+    parity in pytest, rows-only here)."""
+    from cc_dbp_spark.functions.parity import register_udfs
+
+    register_udfs(spark)
+    d = _docs(spark, sf_dir)
+    # the kernel prepends the 'SAMPLEDOC' salt itself (GroundTruth.java:169-174)
+    return d.select("doc_id").filter(F.expr("ccdbp_doc_downsample(text) < 0.3"))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -663,6 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_expand": q_taxonomy_expand,
         "doc_json_roundtrip": q_doc_json_roundtrip,
         "opic_scores": q_opic_scores,
+        "html_extract": q_html_extract,
+        "vocab_autotune": q_vocab_autotune,
+        "relex_stats": q_relex_stats,
+        "tensor_lines": q_tensor_lines,
+        "doc_downsample": q_doc_downsample,
     }
 
 
@@ -966,6 +1037,52 @@ def oracle_sql() -> dict[str, str]:
               FROM triples t JOIN closure c ON c.rel = t.rel
             )
             SELECT DISTINCT arg1, rel, arg2 FROM ex
+        """,
+        "html_extract": """
+            WITH base AS (
+              SELECT 'http://' || source || '/' || doc_id AS doc_id,
+                     source || ' ' || doc_id AS title,
+                     text,
+                     'http://' || source || '.ex.com/p/' || doc_id AS href
+              FROM documents
+            )
+            SELECT doc_id, 'utf-8' AS charset, 0 AS span_idx,
+                   'title' AS kind, title AS text,
+                   NULL AS media_ref, 0 AS offset
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'utf-8', 1, 'paragraph', text, NULL,
+                   CAST(length(title) + 2 AS INT)
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'utf-8', 2, 'link', 'more', href,
+                   CAST(length(title) + 2 + length(text) + 1 AS INT)
+            FROM base
+        """,
+        "vocab_autotune": """
+            WITH w AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents
+            ),
+            c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+            ladder(t) AS (VALUES (1),(2),(3),(5),(8),(12),(18),(27),(41),(62),(93)),
+            surv AS (
+              SELECT t, (SELECT count(*) FROM c WHERE cnt >= t) AS n FROM ladder
+            ),
+            pick AS (
+              SELECT coalesce(min(t), 93) AS mc FROM surv WHERE n <= 20
+            )
+            SELECT (SELECT mc FROM pick) AS min_count, word, cnt
+            FROM c WHERE cnt >= (SELECT mc FROM pick)
+        """,
+        "relex_stats": _MENTION_CTE + """
+            , rels AS (
+              SELECT unnest(string_split(relations, ',')) AS relation
+              FROM labeled WHERE relations <> ''
+            )
+            SELECT relation, count(*) AS n_mentions FROM rels GROUP BY relation
+            UNION ALL
+            SELECT '__all__', count(*) FROM labeled
         """,
         "mention_groups": _MENTION_CTE + """
             , dedup AS (

@@ -96,6 +96,40 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+VOCAB_LADDER = [2, 3, 5, 8, 12, 18, 27, 41, 62, 93]
+
+
+def choose_vocab_min_count(word_counts, vocab_limit: int) -> tuple[int, object]:
+    """A6 vocab auto-tune (``GatherRelexVocab.java:141-191``): bucket the
+    count distribution at the reference's threshold ladder, then pick the
+    smallest threshold whose surviving vocabulary fits `vocab_limit`.
+
+    word_counts: DataFrame(word, cnt). Returns (min_count, filtered DF).
+    The histogram is one aggregation; the cutoff scan is driver-side over
+    ~10 buckets (exactly the reference's split of work).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.lit(0)
+    for t in VOCAB_LADDER:
+        bucket = F.when(F.col("cnt") >= t, F.lit(t)).otherwise(bucket)
+    hist = dict(
+        word_counts.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # words surviving threshold t = sum of buckets >= t (t=1 keeps all:
+    # bucket 0 holds the cnt==1 words below the ladder)
+    min_count = VOCAB_LADDER[-1]
+    for t in [1] + VOCAB_LADDER:
+        surviving = sum(n for b, n in hist.items() if t == 1 or b >= t)
+        if surviving <= vocab_limit:
+            min_count = t
+            break
+    return min_count, word_counts.filter(F.col("cnt") >= min_count)
+
+
 def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     """Min-of-rolling-hashes fingerprint: min over xxhash64 of each
     `window`-token shingle (content-defined; robust to reordering at the

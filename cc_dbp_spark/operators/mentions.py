@@ -226,6 +226,58 @@ def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:
     return grouped
 
 
+def relex_stats(labeled: DataFrame) -> DataFrame:
+    """A9 dataset stats rollup (GatherRelexStats.java:47-66 /
+    RelexStats.java:97-131): totals + per-relation mention counts in one
+    pass. Returns one row per relation plus an '__all__' totals row."""
+    per_rel = (
+        labeled.filter(F.col("relations") != "")
+        .select(F.explode(F.split("relations", ",")).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    totals = labeled.agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.col("is_positive").cast("int")).alias("n_positive"),
+    ).select(
+        F.lit("__all__").alias("relation"),
+        "n_mentions",
+    )
+    return per_rel.unionByName(totals)
+
+
+def tensor_chunks(groups: DataFrame, max_mention_set: int) -> DataFrame:
+    """F6: split each mention set into ceil(n/max) chunks ROUND-ROBIN
+    (element i -> chunk i mod nchunks, the reference's
+    CollectionUtil.partition:31-51), one output row per chunk."""
+    n = F.size("contexts")
+    nchunks = F.ceil(n / F.lit(max_mention_set)).cast("int")
+    chunk_ids = F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0)))
+    exploded = groups.withColumn("n_chunks", nchunks).select(
+        "id1", "id2", "positive", "contexts", "n_chunks",
+        F.explode(chunk_ids).alias("chunk"),
+    )
+    idx = F.sequence(F.lit(0), F.size("contexts") - 1)
+    members = F.filter(idx, lambda i: i % F.col("n_chunks") == F.col("chunk"))
+    picked = F.transform(members, lambda i: F.element_at("contexts", i + 1))
+    return exploded.select(
+        "id1", "id2", "positive", "chunk", picked.alias("contexts")
+    ).filter(F.size("contexts") > 0)
+
+
+def encode_tensor_lines(chunks: DataFrame) -> DataFrame:
+    """M14/S12 shape: serialize each chunk to a base64 line (unit-sep
+    joined contexts; the reference writes base64(tensor bytes) lines that
+    a driver gather later decodes, Base64ToBinary.java:67-124). Fully
+    native: encode + base64 column expressions."""
+    payload = F.base64(
+        F.encode(F.concat_ws(chr(31), F.col("contexts")), "UTF-8")
+    )
+    return chunks.select(
+        "id1", "id2", "chunk", payload.alias("b64"),
+    )
+
+
 def assign_split(groups: DataFrame, cdf=(0.8, 0.9, 1.0)) -> DataFrame:
     """D4: train/val/test by the deterministic SPLIT draw over the
     ordered pair + CDF bucket (GroundTruth.java:184-205)."""

@@ -1,0 +1,59 @@
+"""HTML -> span-document extraction: offsets, title shift, charset sniff,
+interleaving order, and the spans-sorted invariant on output."""
+
+from __future__ import annotations
+
+from cc_dbp_spark.operators import html as H
+from cc_dbp_spark.operators import spans as S
+
+PAGE = b"""<html><head><title>My  Page</title>
+<script>var x = "<p>not text</p>";</script></head>
+<body><h1>Header One</h1>
+<p>First <b>bold</b> paragraph</p>
+<a href="http://x/a">link text</a>
+<p></p>
+<a href="http://x/b"><img src="i.png"></a>
+</body></html>"""
+
+
+def test_extract_one_offsets():
+    spans = H._extract_one("u", PAGE.decode())
+    kinds = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    assert kinds == [
+        ("title", "My Page", None),
+        ("section_header", "Header One", None),
+        ("paragraph", "First bold paragraph", None),
+        ("link", "link text", "http://x/a"),
+        ("link", "", "http://x/b"),
+    ]
+    # title at 0; body starts at len("My Page")+2 = 9; offsets strictly ordered
+    assert spans[0]["offset"] == 0
+    assert spans[1]["offset"] == 9
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs)
+
+
+def test_detect_charset():
+    assert H.detect_charset("café".encode("utf-8")) == "utf-8"
+    assert H.detect_charset(b"\xef\xbb\xbfhi") == "utf-8-sig"
+    assert H.detect_charset(b'<meta charset="ISO-8859-1">') == "iso-8859-1"
+    assert H.detect_charset(b"caf\xe9 latin") == "iso-8859-1"
+
+
+def test_spark_html_to_documents(spark):
+    pages = spark.createDataFrame(
+        [("http://site/p1", bytearray(PAGE)), ("http://site/bad", bytearray(b"\xff\xfeno"))],
+        "url string, payload binary",
+    )
+    docs = H.html_to_documents(pages)
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert rows["http://site/p1"].charset == "utf-8"
+    assert [s.kind for s in rows["http://site/p1"].spans] == [
+        "title", "section_header", "paragraph", "link", "link",
+    ]
+    # output obeys the sorted-span invariant
+    ok = {r.doc_id: r.ok for r in S.spans_sorted_ok(docs.select("doc_id", "spans")).collect()}
+    assert all(ok.values())
+    # outlinks extracted from the produced docs feed the frontier
+    edges = {(r.src, r.dst) for r in S.outlink_edges(docs.select("doc_id", "spans")).collect()}
+    assert ("http://site/p1", "http://x/a") in edges

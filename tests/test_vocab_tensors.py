@@ -1,0 +1,74 @@
+"""A6 vocab auto-tune, A9 stats rollup, F6 round-robin tensor chunking,
+M14 base64 line encoding (decode round-trip)."""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.functions import textstats as ts
+from cc_dbp_spark.operators import mentions as M
+
+
+def test_choose_vocab_min_count(spark):
+    # 100 words with cnt=1, 50 with cnt=4, 10 with cnt=20
+    rows = (
+        [(f"a{i}", 1) for i in range(100)]
+        + [(f"b{i}", 4) for i in range(50)]
+        + [(f"c{i}", 20) for i in range(10)]
+    )
+    wc = spark.createDataFrame(rows, "word string, cnt bigint")
+    mc, kept = ts.choose_vocab_min_count(wc, vocab_limit=60)
+    # smallest ladder threshold that fits: >=2 keeps the 60 words with
+    # cnt in {4, 20} (none fall in [2,3])
+    assert mc == 2
+    assert kept.count() == 60
+    mc2, kept2 = ts.choose_vocab_min_count(wc, vocab_limit=10)
+    assert mc2 == 5 and kept2.count() == 10
+    mc3, kept3 = ts.choose_vocab_min_count(wc, vocab_limit=1000)
+    assert mc3 == 1 and kept3.count() == 160
+
+
+def test_relex_stats(spark):
+    lab = spark.createDataFrame(
+        [
+            ("a", "b", "rel:x,<rel:y", True),
+            ("a", "b", "rel:x", True),
+            ("c", "d", "", False),
+        ],
+        "id1 string, id2 string, relations string, is_positive boolean",
+    )
+    got = {r.relation: r.n_mentions for r in M.relex_stats(lab).collect()}
+    assert got == {"rel:x": 2, "<rel:y": 1, "__all__": 3}
+
+
+def test_tensor_chunks_round_robin(spark):
+    groups = spark.createDataFrame(
+        [("a", "b", True, [f"s{i}" for i in range(7)])],
+        "id1 string, id2 string, positive boolean, contexts array<string>",
+    )
+    chunks = {r.chunk: r.contexts for r in M.tensor_chunks(groups, max_mention_set=3).collect()}
+    # ceil(7/3)=3 chunks, element i -> chunk i%3
+    assert chunks == {
+        0: ["s0", "s3", "s6"],
+        1: ["s1", "s4"],
+        2: ["s2", "s5"],
+    }
+    small = spark.createDataFrame(
+        [("x", "y", False, ["only"])],
+        "id1 string, id2 string, positive boolean, contexts array<string>",
+    )
+    got = M.tensor_chunks(small, max_mention_set=3).collect()
+    assert len(got) == 1 and got[0].contexts == ["only"]
+
+
+def test_encode_tensor_lines_roundtrip(spark):
+    groups = spark.createDataFrame(
+        [("a", "b", True, ["ctx one", "ctx two"])],
+        "id1 string, id2 string, positive boolean, contexts array<string>",
+    )
+    lines = M.encode_tensor_lines(M.tensor_chunks(groups, 10)).collect()
+    assert len(lines) == 1
+    decoded = base64.b64decode(lines[0].b64).decode("utf-8").split(chr(31))
+    assert decoded == ["ctx one", "ctx two"]
