@@ -123,6 +123,69 @@ def naive_match(entries, text: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def clean_overlapping_matches(matches: DataFrame) -> DataFrame:
+    """P12 PostGazClean (``kbp/.../GazetteerEDL.java:41-70``): drop a
+    match that covers <= 1 token and lies strictly inside a longer match
+    of the same document. Self-join per doc on token-span containment —
+    matches per doc are few, so the join stays narrow after the doc_id
+    equi-key."""
+    from pyspark.sql import functions as F
+
+    short = matches.filter((F.col("tok_end") - F.col("tok_start")) <= 1).alias("s")
+    longer = matches.alias("l")
+    doomed = (
+        short.join(
+            longer,
+            (F.col("s.doc_id") == F.col("l.doc_id"))
+            & (F.col("l.tok_start") <= F.col("s.tok_start"))
+            & (F.col("l.tok_end") >= F.col("s.tok_end"))
+            & (
+                (F.col("l.tok_end") - F.col("l.tok_start"))
+                > (F.col("s.tok_end") - F.col("s.tok_start"))
+            ),
+            "left_semi",
+        )
+        .select("s.doc_id", "s.entity_id", "s.tok_start", "s.tok_end")
+    )
+    return matches.join(
+        doomed, ["doc_id", "entity_id", "tok_start", "tok_end"], "left_anti"
+    )
+
+
+def mention_pairs_token_window(matches: DataFrame, window: int) -> DataFrame:
+    """F3 token-window pair variant (``CreateTsvDatasetTokenWindow.java:93-120``):
+    entity pairs whose mentions start within +-window tokens, id1 < id2.
+
+    Scale shape: the |delta| <= window band join is bucketized —
+    bucket = tok_start / window; a qualifying pair is always in the same
+    or adjacent buckets, so the join is an equi-join on (doc, bucket)
+    with a +-1 bucket explode, never a full per-doc cross join.
+    """
+    from pyspark.sql import functions as F
+
+    b = matches.withColumn("bucket", F.floor(F.col("tok_start") / window))
+    left = b.select(
+        F.col("doc_id"), F.col("entity_id").alias("id1"),
+        F.col("tok_start").alias("t1"), F.col("bucket"),
+    )
+    right = b.select(
+        F.col("doc_id"), F.col("entity_id").alias("id2"),
+        F.col("tok_start").alias("t2"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    return (
+        left.join(right, ["doc_id", "bucket"])
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("t1") - F.col("t2")) <= window)
+        )
+        .select("doc_id", "id1", "id2", "t1", "t2")
+        .distinct()
+    )
+
+
 def match_documents(
     docs: DataFrame,
     entries,

@@ -226,6 +226,59 @@ def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:
     return grouped
 
 
+def sanitize_tsv(col):
+    """M12 TSV sanitization (RelexMention.java:243-250): tabs/newlines/
+    carriage returns -> spaces before rendering a TSV row."""
+    return F.translate(col, "\t\n\r", "   ")
+
+
+def attach_types(pairs: DataFrame, types: DataFrame) -> DataFrame:
+    """J2 entity-id -> type broadcast lookup with 'unk' default and
+    'multiType' on conflicting assignments (GroundTruth.getType,
+    GroundTruth.java:296-311)."""
+    resolved = (
+        types.groupBy("id")
+        .agg(F.collect_set("type").alias("ts"))
+        .select(
+            "id",
+            F.when(F.size("ts") > 1, F.lit("multiType"))
+            .otherwise(F.element_at("ts", 1))
+            .alias("etype"),
+        )
+    )
+    t1 = resolved.select(F.col("id").alias("id1"), F.col("etype").alias("type1"))
+    t2 = resolved.select(F.col("id").alias("id2"), F.col("etype").alias("type2"))
+    return (
+        pairs.join(F.broadcast(t1), "id1", "left")
+        .join(F.broadcast(t2), "id2", "left")
+        .withColumn("type1", F.coalesce("type1", F.lit("unk")))
+        .withColumn("type2", F.coalesce("type2", F.lit("unk")))
+    )
+
+
+def filter_by_type_pairs(pairs_typed: DataFrame, allowed: DataFrame) -> DataFrame:
+    """P10 type-pair filter (TypePairEntityPairFilter): keep pairs whose
+    UNORDERED coarse type pair is in the allowed table (broadcast semi
+    join). allowed: (type_a, type_b) with type_a <= type_b."""
+    lo = F.least("type1", "type2").alias("type_a")
+    hi = F.greatest("type1", "type2").alias("type_b")
+    keyed = pairs_typed.withColumn("type_a", lo).withColumn("type_b", hi)
+    return keyed.join(F.broadcast(allowed), ["type_a", "type_b"], "left_semi").drop(
+        "type_a", "type_b"
+    )
+
+
+def filter_triples_by_counts(triples: DataFrame, id_counts: DataFrame, min_count: int) -> DataFrame:
+    """J6 corpus-count triple filter (BuildGroundTruth.java:45-55): keep a
+    triple only when BOTH arguments have corpus count >= min_count."""
+    ok = id_counts.filter(F.col("cnt") >= min_count).select("id")
+    return (
+        triples.join(F.broadcast(ok.withColumnRenamed("id", "arg1")), "arg1", "left_semi")
+        .join(F.broadcast(ok.withColumnRenamed("id", "arg2")), "arg2", "left_semi")
+        .select("arg1", "rel", "arg2")
+    )
+
+
 def relex_stats(labeled: DataFrame) -> DataFrame:
     """A9 dataset stats rollup (GatherRelexStats.java:47-66 /
     RelexStats.java:97-131): totals + per-relation mention counts in one

@@ -27,3 +27,24 @@ def sized_partitions(total_bytes: int, target_partition_bytes: int = 128 << 20,
                      min_parts: int = 1, max_parts: int = 200_000) -> int:
     """Partition count so each holds ~target bytes (default 128 MB)."""
     return max(min_parts, min(max_parts, math.ceil(total_bytes / target_partition_bytes)))
+
+
+def block_shuffle(df: DataFrame, order_col: str, block_size: int,
+                  seed_col: str | None = None) -> DataFrame:
+    """D9 block shuffle (``util/.../BlockShuffler.java:30-60``): permute
+    rows WITHIN consecutive fixed-size blocks of the `order_col` ordering
+    while preserving order across blocks — local mixing with bounded
+    displacement. Deterministic: the within-block order is the xxhash64
+    of the order column (plus optional salt column)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(order_col))
+    blocked = df.withColumn("__seq", F.row_number().over(w) - 1).withColumn(
+        "__block", (F.col("__seq") / block_size).cast("bigint")
+    )
+    mix = F.xxhash64(F.col(order_col)) if seed_col is None else F.xxhash64(order_col, seed_col)
+    return (
+        blocked.withColumn("__mix", mix)
+        .orderBy("__block", "__mix", order_col)
+        .drop("__seq", "__block", "__mix")
+    )

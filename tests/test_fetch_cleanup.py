@@ -1,0 +1,70 @@
+"""Fetch stage (retries + error histogram), P12 overlap cleanup,
+F3 token-window pairs, D9 block shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_dbp_spark.operators import fetch as FE
+from cc_dbp_spark.operators import gazetteer as gaz
+from cc_dbp_spark.plans import layout
+
+
+def test_fetch_retries_and_histogram(spark):
+    doc_map = {"http://a": b"payload-a", "http://b": b"payload-b"}
+    urls = spark.createDataFrame(
+        [("http://a",), ("http://b",), ("http://missing",)], "url string"
+    )
+    out = FE.fetch_batch(urls, FE.make_fixture_fetcher(doc_map))
+    rows = {r.url: r for r in out.collect()}
+    assert rows["http://a"].status == "fetched" and bytes(rows["http://a"].payload) == b"payload-a"
+    assert rows["http://a"].attempts == 1
+    assert rows["http://missing"].status == "failed"
+    assert rows["http://missing"].attempts == FE.MAX_ATTEMPTS
+    assert rows["http://missing"].error.startswith("KeyError")
+    hist = {r.error_type: (r.n, r.total_attempts) for r in FE.error_histogram(out).collect()}
+    assert hist["__ok__"] == (2, 2)
+    assert hist["KeyError"] == (1, 3)
+
+
+def test_clean_overlapping_matches(spark):
+    rows = [
+        (1, "long", 0, 3, 0, 10),   # 3-token match
+        (1, "sub1", 1, 2, 4, 7),    # 1-token inside long -> dropped
+        (1, "edge", 0, 2, 0, 7),    # 2-token inside long -> kept (spans >1 token)
+        (1, "outside", 5, 6, 20, 24),
+        (2, "solo", 0, 1, 0, 4),    # no container in doc 2 -> kept
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, entity_id string, tok_start int, tok_end int, "
+        "char_start int, char_end int"
+    )
+    kept = {r.entity_id for r in gaz.clean_overlapping_matches(m).collect()}
+    assert kept == {"long", "edge", "outside", "solo"}
+
+
+def test_token_window_pairs(spark):
+    rows = [
+        (1, "a", 0, 1, 0, 1),
+        (1, "b", 3, 4, 6, 8),
+        (1, "c", 20, 21, 40, 42),
+        (1, "a", 19, 20, 38, 39),  # second mention of a near c
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, entity_id string, tok_start int, tok_end int, "
+        "char_start int, char_end int"
+    )
+    got = {(r.id1, r.id2, r.t1, r.t2) for r in gaz.mention_pairs_token_window(m, window=5).collect()}
+    assert got == {("a", "b", 0, 3), ("a", "c", 19, 20)}
+
+
+def test_block_shuffle_bounded_displacement(spark):
+    df = spark.range(100).select(F.col("id"))
+    out = [r.id for r in layout.block_shuffle(df, "id", block_size=10).collect()]
+    assert sorted(out) == list(range(100))
+    assert out != list(range(100))  # actually shuffled
+    for pos, v in enumerate(out):
+        assert v // 10 == pos // 10  # never leaves its block
+    # deterministic
+    out2 = [r.id for r in layout.block_shuffle(df, "id", block_size=10).collect()]
+    assert out == out2

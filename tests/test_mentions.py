@@ -5,6 +5,7 @@ cc_dbp_spark/operators/mentions.py)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cc_dbp_spark.functions import parity
 from cc_dbp_spark.operators import mentions as M
@@ -114,3 +115,39 @@ def test_group_min_set_anti_join(spark):
     )
     got = {(g.id1, g.id2) for g in M.mention_groups(lab, min_mention_set=2).collect()}
     assert got == {("a", "b")}
+
+
+def test_sanitize_tsv(spark):
+    df = spark.createDataFrame([("a\tb\nc\rd",)], "v string")
+    assert df.select(M.sanitize_tsv(F.col("v")).alias("v")).collect()[0].v == "a b c d"
+
+
+def test_attach_types_and_type_pair_filter(spark):
+    pairs = spark.createDataFrame(
+        [("e1", "e2"), ("e1", "e3"), ("e4", "e5")], "id1 string, id2 string"
+    )
+    types = spark.createDataFrame(
+        [("e1", "Person"), ("e2", "Place"), ("e3", "Place"), ("e3", "Org")],
+        "id string, type string",
+    )
+    typed = M.attach_types(pairs, types)
+    got = {(r.id1, r.id2): (r.type1, r.type2) for r in typed.collect()}
+    assert got[("e1", "e2")] == ("Person", "Place")
+    assert got[("e1", "e3")] == ("Person", "multiType")
+    assert got[("e4", "e5")] == ("unk", "unk")
+
+    allowed = spark.createDataFrame([("Person", "Place")], "type_a string, type_b string")
+    kept = {(r.id1, r.id2) for r in M.filter_by_type_pairs(typed, allowed).collect()}
+    assert kept == {("e1", "e2")}
+
+
+def test_filter_triples_by_counts(spark):
+    triples = spark.createDataFrame(
+        [("a", "r", "b"), ("a", "r", "c"), ("c", "r", "d")],
+        "arg1 string, rel string, arg2 string",
+    )
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 9), ("c", 1), ("d", 10)], "id string, cnt bigint"
+    )
+    got = {(r.arg1, r.rel, r.arg2) for r in M.filter_triples_by_counts(triples, counts, 5).collect()}
+    assert got == {("a", "r", "b")}

@@ -1,0 +1,93 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+Checks, per representative query:
+* parquet scans carry PushedFilters + pruned ReadSchema (no full-width
+  scans for narrow projections);
+* small dimension joins broadcast (robots, ground truth, budgets);
+* no CartesianProduct outside the explicitly-crossed ANN baseline;
+* WholeStageCodegen covers the native expression pipelines.
+
+Run: python tools/plan_audit.py   (exit 1 on any violation)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from cc_dbp_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+failures: list[str] = []
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def check(name: str, cond: bool, msg: str) -> None:
+    tag = "ok  " if cond else "FAIL"
+    print(f"{tag}  {name}: {msg}")
+    if not cond:
+        failures.append(f"{name}: {msg}")
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+
+    # 1. pushdown + pruning: narrow filter+projection over documents
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = d.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_of(q)
+    check("pushdown", "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p,
+          "lang filter reaches the parquet scan")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = set(re.findall(r"(\w+):", m.group(1))) if m else set()
+    check("pruning", cols == {"doc_id", "lang", "n_chars"},
+          f"scan reads only needed columns (got {sorted(cols)})")
+    check("codegen", "codegen id" in p, "projection pipeline is codegen'd")
+
+    # 2. events window aggregation: partial agg before shuffle
+    ev = entry.q_events_hourly(spark, SF)
+    p = plan_of(ev)
+    check("partial_agg", p.count("HashAggregate") >= 2,
+          "map-side partial aggregation present")
+
+    # 3. crawl round: robots and budgets joins must broadcast
+    fb = entry.q_crawl_round_set(spark, SF)
+    p = plan_of(fb)
+    check("robots_broadcast", "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p,
+          "per-host metadata joins are broadcast, not shuffled")
+    check("no_cartesian", "CartesianProduct" not in p, "no accidental cross joins")
+
+    # 4. mention pipeline: GT joins broadcast; no cartesian
+    mp = entry.q_mention_pairs(spark, SF)
+    p = plan_of(mp)
+    check("gt_broadcast", p.count("BroadcastHashJoin") >= 2,
+          "forward+reverse ground-truth joins broadcast")
+    check("mention_no_cartesian", "CartesianProduct" not in p, "pair join is an equi-join")
+
+    # 5. dedup survivors: single shuffle on the fingerprint
+    ds = entry.q_dedup_survivors(spark, SF)
+    p = plan_of(ds)
+    n_ex = p.count("Exchange")
+    check("dedup_shuffles", n_ex <= 2, f"window dedup shuffles once on fp (got {n_ex} exchanges)")
+
+    # 6. ANN brute force: the cross join is intentional; IVF must NOT have one
+    ivf = entry.q_ann_ivf(spark, SF)
+    p = plan_of(ivf)
+    check("ivf_equijoin", "CartesianProduct" not in p,
+          "IVF probes via equi-join on centroid cell, not cross join")
+
+    spark.stop()
+    print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
