@@ -118,3 +118,19 @@ def test_read_simple_tsv(spark, tmp_path):
     p.write_text("a\t1\tx\nb\t2\ty\n")
     rows = sio.read_simple_tsv(spark, str(p), ["k", "n", "v"]).collect()
     assert {(r.k, r.n, r.v) for r in rows} == {("a", "1", "x"), ("b", "2", "y")}
+
+
+def test_parquet_manifest_catalog(spark, tmp_path):
+    from cc_dbp_spark.sources.catalog import ParquetManifestTables, iceberg_available
+
+    assert not iceberg_available(spark)  # sandbox: parquet fallback active
+    cat = ParquetManifestTables(tmp_path / "cat")
+    s0 = cat.append("seen", spark.range(5).selectExpr("id", "0 AS round_seen"))
+    s1 = cat.append("seen", spark.range(5, 8).selectExpr("id", "1 AS round_seen"))
+    assert cat.snapshots("seen") == [s0, s1]
+    assert cat.load(spark, "seen").count() == 8            # full table
+    assert cat.load(spark, "seen", as_of=s0).count() == 5  # time travel
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.load(spark, "missing")
