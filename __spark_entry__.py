@@ -342,7 +342,9 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard."""
     d = _docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(d, num_hashes=64)
+    # materialize signatures once: LSH banding + the similarity join's two
+    # sides would each re-run the signature UDF otherwise
+    sigs = dedup.minhash_signatures(d, num_hashes=64).localCheckpoint(eager=True)
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     sim = dedup.minhash_similarity(cand, sigs)
     return sim.filter(F.col("est_jaccard") >= 0.5).select(

@@ -119,6 +119,8 @@ def minhash_lsh_candidates(
     n_shared_bands). Classic band->bucket->self-join; the join key is
     (band, hash-of-rows) so co-bucketed docs collide in the shuffle."""
     assert bands * rows_per_band <= 1024
+    # the signature UDF would otherwise re-run once per self-join branch
+    sigs = sigs.localCheckpoint(eager=True)
     b = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -204,7 +206,9 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
         shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
         mask = (1 << width) - 1 if i < nblocks - 1 else (1 << (64 - i * width)) - 1
         blocks.append(shifted.bitwiseAND(F.lit(mask)).alias(f"b{i}"))
-    withb = sim.select(F.col(id_col), F.col("simhash"), *blocks)
+    # materialize once: the simhash UDF upstream would re-run for every
+    # of the 2*(max_hamming+1) self-join branches below
+    withb = sim.select(F.col(id_col), F.col("simhash"), *blocks).localCheckpoint(eager=True)
     pairs = None
     for i in range(nblocks):
         l, r = withb.alias("l"), withb.alias("r")
@@ -244,7 +248,9 @@ def ngram_jaccard_pairs(
     SQL-expressible end-to-end -> serves as the DuckDB-checkable oracle
     for the MinHash estimate.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+    ).localCheckpoint(eager=True)  # reused by sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
