@@ -14,8 +14,13 @@ if [[ "${1:-}" == "--local" ]]; then
   MASTER_ARGS=(--master "local[4]" --conf spark.sql.shuffle.partitions=4)
 fi
 
+JOB="$REPO/tools/run_crawl.py"
+if [[ "${1:-}" == "--job" ]]; then
+  JOB="$REPO/tools/$2"; shift 2
+fi
+
 exec spark-submit \
   "${MASTER_ARGS[@]}" \
   ${SPARK_SUBMIT_OPTS_EXTRA:-} \
   --py-files "$ZIP" \
-  "$REPO/tools/run_crawl.py" "$@"
+  "$JOB" "$@"
