@@ -413,6 +413,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "ok", "width", "height", F.size("feat").alias("feat_dim"))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: stubbed decode -> waveform stats
+    (RMS/ZCR/peak) via mapInPandas."""
+    d = _docs(spark, sf_dir)
+    refs = [
+        f"http://{r['source']}.ex.com/a{r['doc_id']}.wav"
+        for r in d.filter(F.col("doc_id") < 48).select("doc_id", "source").collect()
+    ]
+    media = multimodal.synth_media_table(spark, refs, kind="audio")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_ref", "ok", "n_samples",
+        F.round("rms", 6).alias("rms"), F.round("zero_cross_rate", 6).alias("zcr"),
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: deterministic frame sampling x image
+    feature kernel (one row per sampled frame)."""
+    d = _docs(spark, sf_dir)
+    refs = [
+        f"http://{r['source']}.ex.com/v{r['doc_id']}.mp4"
+        for r in d.filter(F.col("doc_id") < 16).select("doc_id", "source").collect()
+    ]
+    media = multimodal.synth_media_table(spark, refs, kind="video")
+    feats = multimodal.video_frame_features(media, every_ms=1000)
+    return feats.select("media_ref", "ok", "width", "height", F.size("feat").alias("feat_dim"))
+
+
 def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plan (native expressions only)."""
     d = _docs(spark, sf_dir)
@@ -714,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute": q_ann_brute,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "resize_plan": q_resize_plan,
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,

@@ -114,6 +114,94 @@ def extract_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     return media.mapInPandas(process, FEATURE_SCHEMA)
 
 
+def _fake_decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+    """STUB decode — deterministic fake waveform from payload bytes.
+
+    Real implementation: librosa.load / soundfile.read; not available in
+    this container. Shape semantics are real: float32 mono samples of
+    length sample_rate * duration_ms / 1000 (capped for test speed).
+    """
+    n = min(int(sample_rate * duration_ms / 1000), 1 << 18)
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[8:16], "big")
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.1).astype(np.float32)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_ref string, ok boolean, error string, n_samples int, "
+    "rms float, zero_cross_rate float, peak float"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio decode (stubbed) + waveform statistics (RMS,
+    zero-crossing rate, peak) — the audio analogue of the image path;
+    errors become (ok=false, error) rows."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    wav = _fake_decode_audio(
+                        bytes(row["payload"]), row["sample_rate"], row["duration_ms"]
+                    )
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(wav).astype(np.int8)))))
+                    out.append(
+                        {
+                            "media_ref": row["media_ref"],
+                            "ok": True,
+                            "error": None,
+                            "n_samples": len(wav),
+                            "rms": float(np.sqrt(np.mean(wav**2))),
+                            "zero_cross_rate": zc,
+                            "peak": float(np.abs(wav).max()) if len(wav) else 0.0,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - error-row contract
+                    out.append(
+                        {
+                            "media_ref": row["media_ref"],
+                            "ok": False,
+                            "error": str(e)[:200],
+                            "n_samples": None,
+                            "rms": None,
+                            "zero_cross_rate": None,
+                            "peak": None,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(process, AUDIO_FEATURE_SCHEMA)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000, feat_dim: int = 8) -> DataFrame:
+    """Video path = frame-sample plan x image feature extraction: sample
+    deterministic timestamps, synthesize each frame's payload from
+    (video payload, frame_ms) — the stub stands in for an ffmpeg seek+
+    decode — then reuse the image feature kernel. One row per frame."""
+    frames = (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_ref", "payload", "width", "height",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ms"),
+        )
+        .select(
+            F.concat(F.col("media_ref"), F.lit("#t="), F.col("frame_ms")).alias("media_ref"),
+            F.lit("image").alias("kind"),
+            # frame payload derived deterministically from (video, ts)
+            F.sha2(F.concat(F.base64("payload"), F.col("frame_ms").cast("string")), 256)
+            .cast("binary")
+            .alias("payload"),
+            "width",
+            "height",
+            F.lit(0).alias("sample_rate"),
+            F.lit(0).alias("duration_ms"),
+        )
+    )
+    return extract_image_features(frames, feat_dim=feat_dim)
+
+
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Typed resize plan (native expressions; the actual pixel resize is
     the stubbed decode's concern). Keeps aspect ratio, never upscales."""

@@ -54,3 +54,23 @@ def test_ivf_recall(spark):
     for r in ivf.collect():
         want = float(mn[r.query_id] @ mn[r.vec_id])
         assert abs(r.cosine - want) < 1e-5
+
+
+def test_audio_and_video_features(spark):
+    from cc_dbp_spark.operators import multimodal as MM
+
+    media = MM.synth_media_table(
+        spark, [f"http://m/{i}" for i in range(6)], kind="audio"
+    )
+    af = {r.media_ref: r for r in MM.extract_audio_features(media).collect()}
+    assert all(r.ok for r in af.values())
+    assert all(r.n_samples > 0 and 0 < r.rms < 1 for r in af.values())
+    # deterministic: same payload -> same features
+    af2 = {r.media_ref: r for r in MM.extract_audio_features(media).collect()}
+    assert {k: v.rms for k, v in af.items()} == {k: v.rms for k, v in af2.items()}
+
+    vids = MM.synth_media_table(spark, ["http://m/v0"], kind="video")
+    vf = MM.video_frame_features(vids, every_ms=1000).collect()
+    # duration 1000 + d[3]*20 ms -> at least 2 sampled frames
+    assert len(vf) >= 2
+    assert all(r.ok and r.media_ref.startswith("http://m/v0#t=") for r in vf)
