@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from cc_dbp_spark import fixtures
 from cc_dbp_spark.functions import textstats as ts
-from cc_dbp_spark.functions.urlnorm import canonicalize_col, host_col
+from cc_dbp_spark.functions.urlnorm import host_col, with_canonical
 from cc_dbp_spark.operators import (
     dedup,
     frontier,
@@ -282,9 +282,9 @@ def q_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 URL canonicalizer over every rule variant (ConvertDBpedia.java:161-176)."""
     d = _docs(spark, sf_dir)
-    raw = _raw_url_col()
-    canon = canonicalize_col(raw)
-    return d.select("doc_id", canon.alias("url"), host_col(canon).alias("host"))
+    return with_canonical(d, _raw_url_col(), out="url", host="host").select(
+        "doc_id", "url", "host"
+    )
 
 
 def q_crawl_round_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,8 +334,9 @@ def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = (
         docs.select(F.explode("spans").alias("s"))
         .filter((F.col("s.kind") == "link") & F.col("s.media_ref").isNotNull())
-        .select(host_col(canonicalize_col(F.col("s.media_ref"))).alias("host"))
+        .select(F.col("s.media_ref").alias("ref"))
     )
+    links = with_canonical(links, "ref", out="url", host="host").select("host")
     return links.groupBy("host").agg(F.count("*").alias("inlinks"))
 
 
@@ -486,9 +487,9 @@ def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/A1 shape: per-host URL counts after canonicalization (the
     hot-host detection input for skew salting)."""
     d = _docs(spark, sf_dir)
-    canon = canonicalize_col(_raw_url_col())
     return (
-        d.select(host_col(canon).alias("host"))
+        with_canonical(d, _raw_url_col(), out="__url", host="host")
+        .select("host")
         .groupBy("host")
         .agg(F.count("*").alias("n_urls"))
     )
@@ -639,9 +640,9 @@ def q_doc_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC cash-propagation priority over the fixture link graph
     (NodePopularity.java:33-58 shape). Iterative -> rows-only check."""
-    edges = spans.outlink_edges(_fixture_docs(spark)).select(
-        "src", canonicalize_col(F.col("dst")).alias("dst")
-    )
+    edges = with_canonical(
+        spans.outlink_edges(_fixture_docs(spark)), "dst", out="dst"
+    ).select("src", "dst")
     scores = kb.opic_scores(edges, n_rounds=2)
     return scores.select("node", F.round("history", 8).alias("history"))
 

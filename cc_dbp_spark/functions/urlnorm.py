@@ -87,6 +87,103 @@ def _assemble(scheme: Column, host: Column, port: Column, keep_port: Column, pat
     return F.when(has_q, F.concat(base, F.lit("?"), query)).otherwise(base)
 
 
+def with_canonical(df, src, out: str = "url", host: str | None = None,
+                   path: str | None = None):
+    """Staged canonicalization: adds canonical column ``out`` (plus optional
+    ``host`` incl. non-default port, and ``path``) to ``df``.
+
+    Same spec as :func:`canonicalize_col`, but built as a chain of
+    ``withColumn`` projections instead of one Column tree. A single Column
+    tree duplicates every shared subtree (``u`` -> ``scheme`` -> ``rest`` ->
+    ``hostport`` ...), so composed uses (canonical + host in one select)
+    overflow Janino's 64 KB generated-method limit and fall out of
+    whole-stage codegen into per-row interpreted eval. Aliasing each
+    intermediate as a real column blocks Catalyst's CollapseProject from
+    re-inlining any non-cheap expression referenced more than once, so each
+    step is computed once per row and the generated code stays small.
+    Use this on hot paths; ``canonicalize_col`` remains for one-off columns.
+    """
+    c = F.col
+    src_col = c(src) if isinstance(src, str) else src
+    d = df.withColumn("__cn_u0", F.substring_index(F.trim(src_col), "#", 1))
+    d = d.withColumn(
+        "__cn_u",
+        F.when(c("__cn_u0").rlike(_SCHEME_RE), c("__cn_u0")).otherwise(
+            F.concat(F.lit("http://"), c("__cn_u0"))
+        ),
+    )
+    d = d.withColumn("__cn_scheme", F.lower(F.substring_index(c("__cn_u"), "://", 1)))
+    d = d.withColumn(
+        "__cn_rest", c("__cn_u").substr(F.length(c("__cn_scheme")) + 4, F.lit(_BIG))
+    )
+    d = d.withColumn(
+        "__cn_hostport",
+        F.substring_index(F.substring_index(c("__cn_rest"), "/", 1), "?", 1),
+    )
+    d = d.withColumn(
+        "__cn_pathq", c("__cn_rest").substr(F.length(c("__cn_hostport")) + 1, F.lit(_BIG))
+    )
+    d = d.withColumn("__cn_port", F.regexp_extract(c("__cn_hostport"), r":([0-9]+)$", 1))
+    d = d.withColumn(
+        "__cn_host",
+        F.lower(
+            F.when(
+                c("__cn_port") != "",
+                c("__cn_hostport").substr(
+                    F.lit(1), F.length(c("__cn_hostport")) - F.length(c("__cn_port")) - 1
+                ),
+            ).otherwise(c("__cn_hostport"))
+        ),
+    )
+    d = d.withColumn(
+        "__cn_keep",
+        (c("__cn_port") != "")
+        & ~((c("__cn_scheme") == "http") & (c("__cn_port") == "80"))
+        & ~((c("__cn_scheme") == "https") & (c("__cn_port") == "443")),
+    )
+    d = d.withColumn(
+        "__cn_hp",
+        F.when(
+            c("__cn_keep"), F.concat(c("__cn_host"), F.lit(":"), c("__cn_port"))
+        ).otherwise(c("__cn_host")),
+    )
+    d = d.withColumn("__cn_path0", F.substring_index(c("__cn_pathq"), "?", 1))
+    d = d.withColumn(
+        "__cn_query", c("__cn_pathq").substr(F.length(c("__cn_path0")) + 2, F.lit(_BIG))
+    )
+    d = d.withColumn(
+        "__cn_path1",
+        F.regexp_replace(
+            F.when(c("__cn_path0") == "", F.lit("/")).otherwise(c("__cn_path0")),
+            r"//+",
+            "/",
+        ),
+    )
+    d = d.withColumn(
+        "__cn_path",
+        F.when(
+            (F.length(c("__cn_path1")) > 1) & c("__cn_path1").endswith("/"),
+            c("__cn_path1").substr(F.lit(1), F.length(c("__cn_path1")) - 1),
+        ).otherwise(c("__cn_path1")),
+    )
+    base = F.concat(c("__cn_scheme"), F.lit("://"), c("__cn_hp"), c("__cn_path"))
+    d = d.withColumn(
+        out,
+        F.when(
+            c("__cn_pathq").contains("?"), F.concat(base, F.lit("?"), c("__cn_query"))
+        ).otherwise(base),
+    )
+    if host is not None:
+        d = d.withColumn(host, c("__cn_hp"))
+    if path is not None:
+        d = d.withColumn(path, c("__cn_path"))
+    return d.drop(
+        "__cn_u0", "__cn_u", "__cn_scheme", "__cn_rest", "__cn_hostport",
+        "__cn_pathq", "__cn_port", "__cn_host", "__cn_keep", "__cn_hp",
+        "__cn_path0", "__cn_query", "__cn_path1", "__cn_path",
+    )
+
+
 def host_col(canon_url: Column) -> Column:
     """Host (incl. non-default port) of an already-canonical URL."""
     rest = canon_url.substr(

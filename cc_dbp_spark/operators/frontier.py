@@ -40,7 +40,7 @@ from pyspark.sql.types import DoubleType
 
 from cc_dbp_spark.functions import parity
 from cc_dbp_spark.functions.priority import priority_score
-from cc_dbp_spark.functions.urlnorm import canonicalize_col, host_col, path_col
+from cc_dbp_spark.functions.urlnorm import host_col, path_col, with_canonical
 from cc_dbp_spark.operators import filters as flt
 
 
@@ -218,7 +218,7 @@ def _merge_candidates(
     seen_nonempty: bool | None = None,
 ) -> DataFrame:
     """canonicalize + aggregate + seen-prune + merge into frontier."""
-    canon = candidates.select(canonicalize_col(F.col("url")).alias("url"), "depth")
+    canon = with_canonical(candidates, "url", out="url").select("url", "depth")
     lc = F.lit(0).cast("bigint") if rnd == 0 else F.count("*").cast("bigint")
     agg = canon.groupBy("url").agg(F.min("depth").alias("depth"), lc.alias("link_count"))
     agg = agg.withColumn("url_hash", F.xxhash64(F.col("url")))

@@ -18,6 +18,7 @@ per round (same lineage-truncation discipline as the crawl driver).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +88,12 @@ def opic_scores(edges: DataFrame, n_rounds: int = 2, damping: float = 0.85) -> D
     cash and is the popularity/priority signal. Dangling mass and the
     (1-damping) share recirculate uniformly. Returns (node, history).
     """
+    # Iterative reuse: every round re-reads edges (outdeg + transfer join),
+    # so materialize once. This also keeps downstream joins' inferred
+    # IsNotNull constraints above the cached relation instead of letting
+    # Catalyst substitute the full upstream expression chain (e.g. URL
+    # canonicalization) into a Filter that overflows codegen.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -58,6 +58,34 @@ def test_canonicalize_spark_matches_python(spark):
     ][:5]
 
 
+def test_with_canonical_matches_python(spark):
+    """Staged-projection canonicalizer == pure-Python twin, including the
+    derived host (incl. non-default port) and path columns."""
+    urls = CASES + _random_urls(seed=13)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = urlnorm.with_canonical(df, "url", out="c", host="h", path="p")
+    assert set(out.columns) == {"url", "c", "h", "p"}  # temps dropped
+    rows = out.collect()
+    for u, r in zip(urls, rows):
+        c = urlnorm.canonicalize_py(u)
+        assert r.c == c, (u, r.c, c)
+        assert r.h == urlnorm.host_py(c), u
+        assert r.p == urlnorm.path_py(c), u
+
+
+def test_with_canonical_codegen_compiles(spark):
+    """The composed canonicalize+host projection must stay inside
+    whole-stage codegen (the single-Column tree overflows Janino's 64 KB
+    method limit and silently falls back to interpreted eval)."""
+    df = spark.range(100).select(F.concat(F.lit("http://h"), F.col("id"), F.lit(".ex.com:8080/a//b/?q=1")).alias("url"))
+    out = urlnorm.with_canonical(df, "url", out="c", host="h", path="p")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert out.count() == 100
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
 def test_canonicalize_idempotent():
     for u in CASES:
         c = urlnorm.canonicalize_py(u)
