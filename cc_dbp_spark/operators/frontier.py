@@ -136,6 +136,13 @@ def _score_and_local_topk(max_buffer_rows: int = 2_000_000):
     """
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Prunability first: when no (host, salt) group exceeds its k —
+        # the common case once rows spread across partitions (rows/host/
+        # partition < k) — the sort below would keep every row, so skip
+        # it. The group-size probe is ~10x cheaper than the 5-column sort.
+        grp = pdf.groupby(["host", "salt"], sort=False)
+        if (grp["k"].transform("size").to_numpy() <= pdf["k"].to_numpy()).all():
+            return pdf
         pdf = pdf.sort_values(_PRUNE_SORT_COLS, ascending=_PRUNE_SORT_ASC, kind="mergesort")
         keep = pdf.groupby(["host", "salt"], sort=False).cumcount() < pdf["k"].to_numpy()
         return pdf[keep.to_numpy()]
@@ -216,6 +223,7 @@ def _merge_candidates(
     rnd: int,
     cfg: CrawlConfig,
     seen_nonempty: bool | None = None,
+    frontier_nonempty: bool | None = None,
 ) -> DataFrame:
     """canonicalize + aggregate + seen-prune + merge into frontier."""
     canon = with_canonical(candidates, "url", out="url").select("url", "depth")
@@ -239,26 +247,39 @@ def _merge_candidates(
             definitely_new, maybe = flt.prune_with_bloom(agg, bloom, spec)
         confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
         new_urls = definitely_new.unionByName(confirmed_new)
-    else:
+    elif seen_nonempty:
         new_urls = agg.join(seen.select("url"), "url", "left_anti")
+    else:
+        # known-empty seen set (round 0): the anti-join would sort-merge
+        # the whole candidate set against nothing
+        new_urls = agg
     new_urls = new_urls.drop("url_hash")
 
-    merged = (
-        frontier.select("url", "depth", "link_count", "round_added")
-        .alias("f")
-        .join(new_urls.alias("a"), "url", "full_outer")
-        .select(
-            F.col("url"),
-            F.least(F.col("f.depth"), F.col("a.depth")).alias("depth"),
-            (
-                F.coalesce(F.col("f.link_count"), F.lit(0))
-                + F.coalesce(F.col("a.link_count"), F.lit(0))
-            ).alias("link_count"),
-            F.coalesce(F.col("f.round_added"), F.lit(rnd)).alias("round_added"),
+    if frontier_nonempty is None:
+        frontier_nonempty = not frontier.isEmpty()
+    if not frontier_nonempty:
+        # fresh frontier (round 0 / post-drain): the full_outer merge
+        # below cannot broadcast and would sort-merge the whole candidate
+        # set against an empty side — skip it
+        merged = new_urls.select(
+            "url", "depth", "link_count", F.lit(rnd).alias("round_added")
         )
-        .withColumn("host", host_col(F.col("url")))
-    )
-    return merged
+    else:
+        merged = (
+            frontier.select("url", "depth", "link_count", "round_added")
+            .alias("f")
+            .join(new_urls.alias("a"), "url", "full_outer")
+            .select(
+                F.col("url"),
+                F.least(F.col("f.depth"), F.col("a.depth")).alias("depth"),
+                (
+                    F.coalesce(F.col("f.link_count"), F.lit(0))
+                    + F.coalesce(F.col("a.link_count"), F.lit(0))
+                ).alias("link_count"),
+                F.coalesce(F.col("f.round_added"), F.lit(rnd)).alias("round_added"),
+            )
+        )
+    return merged.withColumn("host", host_col(F.col("url")))
 
 
 def build_bloom(seen: DataFrame, spec: flt.BloomSpec) -> DataFrame:
@@ -433,7 +454,9 @@ def run_round(
     frontier, seen, credit = state["frontier"], state["seen"], state["credit"]
 
     merged = _merge_candidates(
-        candidates, frontier, seen, rnd, cfg, seen_nonempty=state.get("seen_nonempty")
+        candidates, frontier, seen, rnd, cfg,
+        seen_nonempty=state.get("seen_nonempty"),
+        frontier_nonempty=state.get("frontier_nonempty"),
     )
     # localCheckpoint: materialize the expensive canonicalize+merge+robots
     # upstream exactly ONCE and truncate lineage so iterative rounds don't
@@ -615,6 +638,7 @@ class CrawlDriver:
         else:
             state = empty_state(self.spark)
             state["seen_nonempty"] = False
+            state["frontier_nonempty"] = False
             state["n_seen"] = 0
             candidates = seeds.select("url", F.col("depth").cast("int"))
 
@@ -635,6 +659,7 @@ class CrawlDriver:
             }
             state["n_seen"] = n_seen_prev + n_sched
             state["seen_nonempty"] = state["n_seen"] > 0
+            state["frontier_nonempty"] = not state["frontier"].isEmpty()
             out["fetch_batch"] = batch
             self._ckpt(rnd, out, candidates)
             batches.append(batch)
