@@ -286,24 +286,31 @@ def build_bloom(seen: DataFrame, spec: flt.BloomSpec) -> DataFrame:
     return flt.build_bloom_df(seen, spec)
 
 
-def _robots_flag(merged: DataFrame, robots: DataFrame) -> DataFrame:
-    """Frontier rows + a ``denied`` flag. Robots is per-host metadata ->
-    broadcast join; prefix tests are native array exists. Returned as ONE
-    DataFrame so the caller can checkpoint the (expensive) upstream once
-    and derive allowed/denied by cheap narrow filters."""
-    path = path_col(F.col("url"))
-    j = merged.withColumn("path", path).join(F.broadcast(robots), "host", "left")
+def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """df (must carry url + host) + a ``denied`` flag. Robots is per-host
+    metadata -> broadcast join; prefix tests are native array exists."""
+    cols = df.columns
+    j = df.withColumn("__path", path_col(F.col("url"))).join(
+        F.broadcast(robots), "host", "left"
+    )
     denied_expr = F.when(
         F.col("deny_prefixes").isNotNull()
-        & F.exists("deny_prefixes", lambda p: F.col("path").startswith(p)),
+        & F.exists("deny_prefixes", lambda p: F.col("__path").startswith(p)),
         F.lit(True),
     ).otherwise(F.lit(False))
     allow_fail = F.when(
         F.col("allow_prefixes").isNotNull() & (F.size("allow_prefixes") > 0),
-        ~F.exists("allow_prefixes", lambda p: F.col("path").startswith(p)),
+        ~F.exists("allow_prefixes", lambda p: F.col("__path").startswith(p)),
     ).otherwise(F.lit(False))
-    return j.withColumn("denied", denied_expr | allow_fail).select(
-        "url", "host", "depth", "link_count", "round_added", "denied"
+    return j.withColumn("denied", denied_expr | allow_fail).select(*cols, "denied")
+
+
+def _robots_flag(merged: DataFrame, robots: DataFrame) -> DataFrame:
+    """Frontier rows + a ``denied`` flag, returned as ONE DataFrame so the
+    caller can checkpoint the (expensive) upstream once and derive
+    allowed/denied by cheap narrow filters."""
+    return _with_denied(
+        merged.select("url", "host", "depth", "link_count", "round_added"), robots
     )
 
 
@@ -426,6 +433,106 @@ def _topk_per_host(
     )
 
 
+def _fused_fresh_schedule(
+    candidates: DataFrame,
+    robots: DataFrame,
+    credit: DataFrame,
+    rnd: int,
+    cfg: CrawlConfig,
+) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
+    """Single-shuffle scheduling for a FRESH state (empty frontier+seen):
+    canonicalize -> robots-flag -> tie/salt -> repartition(host, salt) ->
+    in-partition window dedupe -> checkpoint -> in-partition exact rank.
+
+    Because host and salt are pure functions of the url, ONE hash
+    repartition on (host, salt) co-locates every duplicate of a url AND
+    completes each politeness group, so the url-dedupe window and the
+    per-(host, salt) rank window both run with no further exchange
+    (HashPartitioning(host, salt) satisfies both windows' clustering
+    requirement, and localCheckpoint preserves the partitioning). The
+    general path pays a url-keyed aggregation shuffle PLUS a window
+    shuffle over the same rows; at frontier scale this halves the
+    shuffled bytes of the round.
+
+    Hot-host detection uses RAW (pre-dedupe) counts: the active-host set
+    is dedupe-invariant, and salting never changes the schedule (it only
+    balances partitions — test_salted_topk_equals_plain).
+
+    Returns (flagged, budgets, scheduled, hot): flagged is checkpointed
+    with the legacy columns + (tie, salt, priority).
+    """
+    spark = candidates.sparkSession
+    canon = with_canonical(candidates, "url", out="url").select("url", "depth")
+    canon = canon.withColumn("host", host_col(F.col("url")))
+
+    pre = canon.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=True)
+    budgets = _host_budgets_from_stats(pre, credit, robots, cfg)
+    hot_rows = (
+        pre.filter(F.col("n_raw") > cfg.hot_host_threshold)
+        .select(
+            "host",
+            F.ceil(F.col("n_raw") / F.lit(cfg.hot_host_cap)).cast("int").alias("num_splits"),
+        )
+        .collect()
+    )
+    if hot_rows:
+        hot_df = spark.createDataFrame(hot_rows, "host string, num_splits int")
+        src = canon.join(F.broadcast(hot_df), "host", "left")
+    else:
+        src = canon.withColumn("num_splits", F.lit(None).cast("int"))
+    src = src.withColumn("ts", _tie_salt_udf()(F.col("url"), F.col("num_splits"))).select(
+        "url", "host", "depth",
+        F.col("ts.tie").alias("tie"), F.col("ts.salt").alias("salt"),
+    )
+    src = _with_denied(src, robots)
+
+    part = src.repartition("host", "salt")
+    # dedupe = hash aggregation with NO further exchange (HashPartitioning
+    # (host, salt) satisfies the groupBy's clustering — same url, same
+    # salt). tie/denied are functions of the url, so first() is exact.
+    if rnd == 0:
+        lc = F.lit(0).cast("bigint")  # seeds carry no in-links
+    else:
+        lc = F.count("*").cast("bigint")
+    dedup = part.groupBy("host", "salt", "url").agg(
+        F.min("depth").alias("depth"),
+        lc.alias("link_count"),
+        F.first("tie").alias("tie"),
+        F.first("denied").alias("denied"),
+    )
+    # the salted rank runs BEFORE the checkpoint (localCheckpoint does not
+    # preserve partitioning, so a post-checkpoint window would re-shuffle).
+    # Ordering denied-last keeps allowed rows' ranks identical to ranking
+    # the allowed subset alone (false sorts before true).
+    w1 = Window.partitionBy("host", "salt").orderBy(
+        F.col("denied").asc(), F.col("priority").desc(),
+        F.col("tie").asc(), F.col("url").asc(),
+    )
+    flagged = (
+        dedup.withColumn("round_added", F.lit(rnd))
+        .withColumn("priority", priority_col("depth", "link_count"))
+        .join(F.broadcast(budgets.select("host", "k", "delay")), "host", "left")
+        .withColumn("r1", F.row_number().over(w1))
+        .localCheckpoint(eager=True)
+    )
+
+    pre1 = flagged.filter(
+        ~F.col("denied") & (F.col("k") > 0) & (F.col("r1") <= F.col("k"))
+    )
+    if hot_rows:
+        order = [F.col("priority").desc(), F.col("tie").asc(), F.col("url").asc()]
+        w2 = Window.partitionBy("host").orderBy(*order)
+        scheduled = (
+            pre1.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= F.col("k"))
+            .drop("r1", "salt")
+        )
+    else:
+        # salt is 0 everywhere -> the per-(host, salt) rank IS the host rank
+        scheduled = pre1.withColumnRenamed("r1", "rank").drop("salt")
+    return flagged, budgets, scheduled, bool(hot_rows)
+
+
 
 def run_round(
     spark: SparkSession,
@@ -453,18 +560,38 @@ def run_round(
 
     frontier, seen, credit = state["frontier"], state["seen"], state["credit"]
 
-    merged = _merge_candidates(
-        candidates, frontier, seen, rnd, cfg,
-        seen_nonempty=state.get("seen_nonempty"),
-        frontier_nonempty=state.get("frontier_nonempty"),
-    )
-    # localCheckpoint: materialize the expensive canonicalize+merge+robots
-    # upstream exactly ONCE and truncate lineage so iterative rounds don't
-    # grow the logical plan (analysis cost blows up otherwise). allowed /
-    # denied_counts are narrow filters over the single checkpoint.
-    flagged = _robots_flag(merged, robots).localCheckpoint(eager=True)
-    _mark("flagged_ckpt")
-    allowed = flagged.filter(~F.col("denied")).drop("denied")
+    seen_nonempty = state.get("seen_nonempty")
+    if seen_nonempty is None:
+        seen_nonempty = not seen.isEmpty()
+    frontier_nonempty = state.get("frontier_nonempty")
+    if frontier_nonempty is None:
+        frontier_nonempty = not frontier.isEmpty()
+
+    if not seen_nonempty and not frontier_nonempty:
+        # fresh state (seed round / post-drain): single-shuffle fused path
+        flagged, budgets, scheduled, _ = _fused_fresh_schedule(
+            candidates, robots, credit, rnd, cfg
+        )
+        _mark("flagged_ckpt")
+    else:
+        merged = _merge_candidates(
+            candidates, frontier, seen, rnd, cfg,
+            seen_nonempty=seen_nonempty,
+            frontier_nonempty=frontier_nonempty,
+        )
+        # localCheckpoint: materialize the expensive canonicalize+merge+
+        # robots upstream exactly ONCE and truncate lineage so iterative
+        # rounds don't grow the logical plan (analysis cost blows up
+        # otherwise). allowed / denied_counts are narrow filters over the
+        # single checkpoint.
+        flagged = _robots_flag(merged, robots).localCheckpoint(eager=True)
+        _mark("flagged_ckpt")
+        budgets = None
+        scheduled = None
+
+    allowed = flagged.select(
+        "url", "host", "depth", "link_count", "round_added", "denied"
+    ).filter(~F.col("denied")).drop("denied")
     # ONE per-host stats pass feeds denial audit, hot-host detection, and
     # budget computation (tiny table: a row per active host) — every extra
     # aggregation over `flagged` is a full scan, so they're fused.
@@ -479,12 +606,13 @@ def run_round(
     _mark("host_stats_ckpt")
     cand_per_host = host_stats.select("host", "n")
     denied_counts = host_stats.filter(F.col("denied") > 0).select("host", "denied")
-    # budgets is a few joins over tiny tables — no checkpoint needed
-    budgets = _host_budgets_from_stats(host_stats, credit, robots, cfg)
+    if budgets is None:
+        # budgets is a few joins over tiny tables — no checkpoint needed
+        budgets = _host_budgets_from_stats(host_stats, credit, robots, cfg)
 
-    scheduled = _topk_per_host(allowed, budgets, cfg, host_counts=cand_per_host).localCheckpoint(
-        eager=True
-    )
+    if scheduled is None:
+        scheduled = _topk_per_host(allowed, budgets, cfg, host_counts=cand_per_host)
+    scheduled = scheduled.localCheckpoint(eager=True)
     _mark("topk_ckpt")
 
     # global deterministic crawl order: host ASC, per-host rank ASC.

@@ -23,8 +23,11 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # proportional to parallelism: honest N vs 4N scaling comparisons
-        shuffle_partitions = max(cores, 4)
+        # proportional to parallelism (honest N vs 4N scaling comparisons),
+        # with a 3x multiplier: finer tasks overlap shuffle write/read with
+        # compute and absorb stragglers (measured ~25-40% on the 8M-URL
+        # scheduling round at both 2 and 8 cores)
+        shuffle_partitions = max(cores * 3, 6)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -37,6 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] shuffles go through the local filesystem: compression is
+        # pure CPU overhead there (~40% of a shuffle-heavy round, measured
+        # on the 8M-URL scheduling round). On a real multi-executor cluster
+        # shuffles are network-bound — leave compression ON there (these
+        # two lines are local-mode-only; tools/submit.sh does not set them).
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
