@@ -133,6 +133,44 @@ def prune_with_bloom(candidates_df, bloom_df, spec: BloomSpec, hash_col: str = "
     return new, maybe
 
 
+def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
+                              hash_col: str = "url_hash",
+                              flag_col: str = "maybe_seen"):
+    """NARROW bloom probe: ship the whole partitioned filter to every task
+    via a Spark broadcast and flag candidates in place — no shuffle at all.
+
+    Use when the filter fits the broadcast budget (bits for 10^7 urls at
+    1% fpr ~ 12 MB); the cogrouped :func:`prune_with_bloom` remains the
+    10^10-scale path where bitmaps are GBs and must meet each candidate
+    partition exactly once instead of being broadcast whole.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    sc = candidates_df.sparkSession.sparkContext
+    parts = {int(r["pid"]): bytes(r["bitmap"]) for r in bloom_df.collect()}
+    bparts = sc.broadcast(parts)
+
+    @F.pandas_udf(BooleanType())
+    def _probe(h: pd.Series) -> pd.Series:
+        hs = h.to_numpy(dtype=np.int64)
+        pid = (hs % spec.num_partitions + spec.num_partitions) % spec.num_partitions
+        out = np.zeros(len(hs), dtype=bool)
+        for p in np.unique(pid):
+            bm = bparts.value.get(int(p))
+            if bm is not None:
+                m = pid == p
+                out[m] = spec.probe(hs[m], bm)
+        return pd.Series(out)
+
+    return candidates_df.withColumn(flag_col, _probe(F.col(hash_col)))
+
+
+def bloom_total_bytes(spec: BloomSpec) -> int:
+    """Whole-filter size if every partition bitmap were materialized."""
+    return spec.num_partitions * (spec.bits_per_partition // 8)
+
+
 def build_cuckoo_df(seen_df, capacity_per_partition: int, num_partitions: int = 16,
                     hash_col: str = "url_hash"):
     """Distributed partitioned cuckoo build: groupBy(pid) -> one serialized

@@ -54,6 +54,11 @@ class CrawlConfig:
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 0.01
     bloom_partitions: int = 16
+    # bloom probe strategy: whole-filter broadcast (narrow, no shuffle)
+    # while the bitmaps fit this budget; cogrouped probe beyond it
+    # (10^10-scale filters are GBs and must meet each candidate partition
+    # once, never be broadcast whole)
+    bloom_broadcast_max_bytes: int = 64 << 20
     hot_host_threshold: int = 10_000  # counts above this get salted top-k
     hot_host_cap: int = 5_000  # target rows per salt split
     # map-side bounded top-k prune (NBest pattern) before the rank shuffle:
@@ -433,39 +438,96 @@ def _topk_per_host(
     )
 
 
-def _fused_fresh_schedule(
+def _fused_schedule(
     candidates: DataFrame,
+    frontier: DataFrame,
+    seen: DataFrame,
     robots: DataFrame,
     credit: DataFrame,
     rnd: int,
     cfg: CrawlConfig,
+    seen_nonempty: bool,
+    frontier_nonempty: bool,
 ) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
-    """Single-shuffle scheduling for a FRESH state (empty frontier+seen):
-    canonicalize -> robots-flag -> tie/salt -> repartition(host, salt) ->
-    in-partition window dedupe -> checkpoint -> in-partition exact rank.
+    """Single-shuffle scheduling round:
+    canonicalize -> seen-prune -> union frontier -> robots-flag ->
+    tie/salt -> repartition(host, salt) -> in-partition merge-dedupe ->
+    in-partition exact rank -> checkpoint.
 
     Because host and salt are pure functions of the url, ONE hash
     repartition on (host, salt) co-locates every duplicate of a url AND
-    completes each politeness group, so the url-dedupe window and the
-    per-(host, salt) rank window both run with no further exchange
-    (HashPartitioning(host, salt) satisfies both windows' clustering
-    requirement, and localCheckpoint preserves the partitioning). The
-    general path pays a url-keyed aggregation shuffle PLUS a window
-    shuffle over the same rows; at frontier scale this halves the
-    shuffled bytes of the round.
+    completes each politeness group, so the url merge-dedupe runs as an
+    exchange-free hash aggregation and the salted rank window follows in
+    the same stage (HashPartitioning(host, salt) satisfies both
+    operators' clustering requirement). The reference composition
+    (:func:`_merge_candidates` + :func:`_robots_flag` +
+    :func:`_topk_per_host`) pays a url-keyed aggregation shuffle, a
+    full-outer merge shuffle, AND a window shuffle over the same rows;
+    at frontier scale this is the difference between shuffling the
+    frontier once and three times per round. Differential-tested against
+    the reference composition and the pure-Python oracle.
+
+    The carried frontier merges through the same aggregation: frontier
+    rows contribute their accumulated link_count / earliest round_added,
+    candidate rows contribute 1 link each (0 in the seed round). The
+    seen-set test applies to candidates only (frontier rows are unseen
+    by invariant): bloom/cuckoo filters prune, an exact anti-join over
+    the surviving "maybe" rows confirms — broadcast probe when the
+    filter fits the broadcast budget (narrow), cogrouped otherwise.
 
     Hot-host detection uses RAW (pre-dedupe) counts: the active-host set
     is dedupe-invariant, and salting never changes the schedule (it only
     balances partitions — test_salted_topk_equals_plain).
 
     Returns (flagged, budgets, scheduled, hot): flagged is checkpointed
-    with the legacy columns + (tie, salt, priority).
+    with the legacy columns + (tie, salt, priority, k, delay, r1).
     """
     spark = candidates.sparkSession
     canon = with_canonical(candidates, "url", out="url").select("url", "depth")
     canon = canon.withColumn("host", host_col(F.col("url")))
 
-    pre = canon.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=True)
+    contrib = F.lit(0 if rnd == 0 else 1).cast("bigint")  # seeds carry no in-links
+    cand_rows = canon.select(
+        "url", "host", "depth",
+        contrib.alias("lc_contrib"),
+        F.lit(rnd).alias("round_added"),
+    )
+    if seen_nonempty:
+        cand_rows = cand_rows.withColumn("url_hash", F.xxhash64(F.col("url")))
+        if cfg.use_bloom:
+            if cfg.filter_kind == "cuckoo":
+                per_part = max(1024, cfg.bloom_capacity // cfg.bloom_partitions)
+                ck = flt.build_cuckoo_df(seen, per_part, cfg.bloom_partitions)
+                definitely_new, maybe = flt.prune_with_cuckoo(
+                    cand_rows, ck, cfg.bloom_partitions
+                )
+            else:
+                spec = flt.BloomSpec(
+                    cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions
+                )
+                bloom = flt.build_bloom_df(seen, spec)
+                if flt.bloom_total_bytes(spec) <= cfg.bloom_broadcast_max_bytes:
+                    probed = flt.flag_with_broadcast_bloom(cand_rows, bloom, spec)
+                    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                else:
+                    definitely_new, maybe = flt.prune_with_bloom(cand_rows, bloom, spec)
+            confirmed_new = maybe.join(seen.select("url"), "url", "left_anti")
+            cand_rows = definitely_new.unionByName(confirmed_new)
+        else:
+            cand_rows = cand_rows.join(seen.select("url"), "url", "left_anti")
+        cand_rows = cand_rows.drop("url_hash")
+
+    if frontier_nonempty:
+        all_rows = frontier.select(
+            "url", "host", "depth",
+            F.col("link_count").alias("lc_contrib"),
+            "round_added",
+        ).unionByName(cand_rows)
+    else:
+        all_rows = cand_rows
+
+    pre = all_rows.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=True)
     budgets = _host_budgets_from_stats(pre, credit, robots, cfg)
     hot_rows = (
         pre.filter(F.col("n_raw") > cfg.hot_host_threshold)
@@ -477,26 +539,25 @@ def _fused_fresh_schedule(
     )
     if hot_rows:
         hot_df = spark.createDataFrame(hot_rows, "host string, num_splits int")
-        src = canon.join(F.broadcast(hot_df), "host", "left")
+        src = all_rows.join(F.broadcast(hot_df), "host", "left")
     else:
-        src = canon.withColumn("num_splits", F.lit(None).cast("int"))
+        src = all_rows.withColumn("num_splits", F.lit(None).cast("int"))
     src = src.withColumn("ts", _tie_salt_udf()(F.col("url"), F.col("num_splits"))).select(
-        "url", "host", "depth",
+        "url", "host", "depth", "lc_contrib", "round_added",
         F.col("ts.tie").alias("tie"), F.col("ts.salt").alias("salt"),
     )
     src = _with_denied(src, robots)
 
     part = src.repartition("host", "salt")
-    # dedupe = hash aggregation with NO further exchange (HashPartitioning
-    # (host, salt) satisfies the groupBy's clustering — same url, same
-    # salt). tie/denied are functions of the url, so first() is exact.
-    if rnd == 0:
-        lc = F.lit(0).cast("bigint")  # seeds carry no in-links
-    else:
-        lc = F.count("*").cast("bigint")
+    # merge-dedupe = hash aggregation with NO further exchange
+    # (HashPartitioning(host, salt) satisfies the groupBy's clustering —
+    # same url, same salt). tie/denied are functions of the url, so
+    # first() is exact. Frontier and candidate occurrences of a url merge
+    # here: min depth, summed link contributions, earliest round_added.
     dedup = part.groupBy("host", "salt", "url").agg(
         F.min("depth").alias("depth"),
-        lc.alias("link_count"),
+        F.sum("lc_contrib").alias("link_count"),
+        F.min("round_added").alias("round_added"),
         F.first("tie").alias("tie"),
         F.first("denied").alias("denied"),
     )
@@ -509,8 +570,7 @@ def _fused_fresh_schedule(
         F.col("tie").asc(), F.col("url").asc(),
     )
     flagged = (
-        dedup.withColumn("round_added", F.lit(rnd))
-        .withColumn("priority", priority_col("depth", "link_count"))
+        dedup.withColumn("priority", priority_col("depth", "link_count"))
         .join(F.broadcast(budgets.select("host", "k", "delay")), "host", "left")
         .withColumn("r1", F.row_number().over(w1))
         .localCheckpoint(eager=True)
@@ -567,34 +627,22 @@ def run_round(
     if frontier_nonempty is None:
         frontier_nonempty = not frontier.isEmpty()
 
-    if not seen_nonempty and not frontier_nonempty:
-        # fresh state (seed round / post-drain): single-shuffle fused path
-        flagged, budgets, scheduled, _ = _fused_fresh_schedule(
-            candidates, robots, credit, rnd, cfg
-        )
-        _mark("flagged_ckpt")
-    else:
-        merged = _merge_candidates(
-            candidates, frontier, seen, rnd, cfg,
-            seen_nonempty=seen_nonempty,
-            frontier_nonempty=frontier_nonempty,
-        )
-        # localCheckpoint: materialize the expensive canonicalize+merge+
-        # robots upstream exactly ONCE and truncate lineage so iterative
-        # rounds don't grow the logical plan (analysis cost blows up
-        # otherwise). allowed / denied_counts are narrow filters over the
-        # single checkpoint.
-        flagged = _robots_flag(merged, robots).localCheckpoint(eager=True)
-        _mark("flagged_ckpt")
-        budgets = None
-        scheduled = None
+    # single-shuffle fused round (differential-tested against the
+    # reference composition _merge_candidates + _robots_flag +
+    # _topk_per_host, and against the pure-Python oracle)
+    flagged, budgets, scheduled, _ = _fused_schedule(
+        candidates, frontier, seen, robots, credit, rnd, cfg,
+        seen_nonempty, frontier_nonempty,
+    )
+    _mark("flagged_ckpt")
 
     allowed = flagged.select(
         "url", "host", "depth", "link_count", "round_added", "denied"
     ).filter(~F.col("denied")).drop("denied")
-    # ONE per-host stats pass feeds denial audit, hot-host detection, and
-    # budget computation (tiny table: a row per active host) — every extra
-    # aggregation over `flagged` is a full scan, so they're fused.
+    # ONE per-host stats pass feeds denial audit and the per-host
+    # candidate counts in the round audit (tiny table: a row per active
+    # host) — every extra aggregation over `flagged` is a full scan, so
+    # they're fused.
     host_stats = (
         flagged.groupBy("host")
         .agg(
@@ -606,12 +654,7 @@ def run_round(
     _mark("host_stats_ckpt")
     cand_per_host = host_stats.select("host", "n")
     denied_counts = host_stats.filter(F.col("denied") > 0).select("host", "denied")
-    if budgets is None:
-        # budgets is a few joins over tiny tables — no checkpoint needed
-        budgets = _host_budgets_from_stats(host_stats, credit, robots, cfg)
 
-    if scheduled is None:
-        scheduled = _topk_per_host(allowed, budgets, cfg, host_counts=cand_per_host)
     scheduled = scheduled.localCheckpoint(eager=True)
     _mark("topk_ckpt")
 

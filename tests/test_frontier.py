@@ -173,3 +173,61 @@ def test_resume_equals_straight_run(spark, fixture_dir, tmp_path_factory):
     resumed = d2.run(seeds, resume=True)
     got_seen = {(r["url"], r["round_seen"]) for r in resumed["state"]["seen"].collect()}
     assert got_seen == want_seen
+
+
+def test_fused_round_equals_reference_composition(spark, fixture_dir):
+    """The single-shuffle fused round must produce the same flagged set
+    and schedule as the reference composition (_merge_candidates +
+    _robots_flag + _topk_per_host) on a carried frontier + seen state
+    (the fast-vs-naive differential pattern)."""
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    cfg = fr.CrawlConfig(round_budget_s=3.0, use_bloom=False)
+    rnd = 2
+    # synthetic mid-crawl state: some urls already seen, some carried over
+    cand = seeds.select("url", F.lit(2).cast("int").alias("depth"))
+    canon = cand.selectExpr("url", "depth").limit(200)
+    frontier_rows = spark.createDataFrame(
+        [
+            ("http://host3.example.com/carried/1", "host3.example.com", 1, 4, 1),
+            ("http://host7.example.com/carried/2", "host7.example.com", 2, 2, 0),
+        ],
+        fr.FRONTIER_SCHEMA,
+    )
+    # seen urls must be canonical (the round tests canonical candidates)
+    seen_rows = spark.createDataFrame(
+        [(canonicalize_py(r["url"]), 0, 0) for r in canon.limit(30).collect()],
+        fr.SEEN_SCHEMA,
+    )
+    credit = spark.createDataFrame([("host3.example.com", 1.5)], fr.CREDIT_SCHEMA)
+
+    flagged, budgets, scheduled, _ = fr._fused_schedule(
+        canon, frontier_rows, seen_rows, robots, credit, rnd, cfg,
+        seen_nonempty=True, frontier_nonempty=True,
+    )
+
+    merged = fr._merge_candidates(
+        canon, frontier_rows, seen_rows, rnd, cfg,
+        seen_nonempty=True, frontier_nonempty=True,
+    )
+    ref_flagged = fr._robots_flag(merged, robots)
+    ref_allowed = ref_flagged.filter(~F.col("denied")).drop("denied")
+    host_stats = ref_flagged.groupBy("host").agg(
+        F.count(F.when(~F.col("denied"), 1)).alias("n"),
+        F.count(F.when(F.col("denied"), 1)).alias("denied"),
+    )
+    ref_budgets = fr._host_budgets_from_stats(host_stats, credit, robots, cfg)
+    ref_sched = fr._topk_per_host(ref_allowed, ref_budgets, cfg)
+
+    key = lambda rows: sorted(
+        (r["url"], r["host"], r["depth"], r["link_count"], r["round_added"], r["denied"])
+        for r in rows
+    )
+    assert key(
+        flagged.select("url", "host", "depth", "link_count", "round_added", "denied").collect()
+    ) == key(ref_flagged.collect())
+
+    skey = lambda rows: sorted((r["url"], r["host"], r["rank"]) for r in rows)
+    assert skey(scheduled.select("url", "host", "rank").collect()) == skey(
+        ref_sched.select("url", "host", "rank").collect()
+    )
