@@ -133,6 +133,32 @@ def prune_with_bloom(candidates_df, bloom_df, spec: BloomSpec, hash_col: str = "
     return new, maybe
 
 
+def update_bloom_df(prev_bloom_df, new_seen_df, spec: BloomSpec,
+                    hash_col: str = "url_hash"):
+    """Incremental snapshot update: OR-merge the previous partitioned
+    bitmaps with bitmaps built from ONLY the newly-seen urls.
+
+    OR(bitmap(A), bitmap(B)) == bitmap(A ∪ B), so the incremental filter
+    is bit-identical to a full rebuild (tested) — but each round costs
+    O(new urls), not O(entire seen set). This is the filter-snapshot
+    lifecycle the round loop checkpoints and resumes from.
+    """
+    fresh = build_bloom_df(new_seen_df, spec)
+    both = prev_bloom_df.unionByName(fresh)
+
+    def _or(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8)
+        for b in pdf["bitmap"].iloc[1:]:
+            acc = acc | np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"pid": [key[0]], "bitmap": [acc.tobytes()]})
+
+    return both.groupBy("pid").applyInPandas(_or, "pid int, bitmap binary")
+
+
+def empty_bloom_df(spark):
+    return spark.createDataFrame([], "pid int, bitmap binary")
+
+
 def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
                               hash_col: str = "url_hash",
                               flag_col: str = "maybe_seen"):
@@ -180,13 +206,57 @@ def build_cuckoo_df(seen_df, capacity_per_partition: int, num_partitions: int = 
 
     def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cf = CuckooFilter(capacity_per_partition)
-        cf.insert(pdf[hash_col].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"pid": [key[0]], "table": [cf.to_bytes()]})
+        failed = cf.insert(pdf[hash_col].to_numpy(dtype=np.int64))
+        # overflow would create FALSE NEGATIVES (seen url reported
+        # definitely-new -> re-crawled -> seen-set divergence); a
+        # saturated partition instead degrades every probe to "maybe",
+        # falling back to the exact anti-join for that hash range
+        return pd.DataFrame(
+            {"pid": [key[0]], "table": [cf.to_bytes()], "saturated": [failed > 0]}
+        )
 
     with_pid = seen_df.withColumn(
         "pid", F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int")
     )
-    return with_pid.groupBy("pid").applyInPandas(_build, "pid int, table binary")
+    return with_pid.groupBy("pid").applyInPandas(
+        _build, "pid int, table binary, saturated boolean"
+    )
+
+
+def update_cuckoo_df(prev_cuckoo_df, new_seen_df, capacity_per_partition: int,
+                     num_partitions: int = 16, hash_col: str = "url_hash"):
+    """Incremental cuckoo snapshot update: cogroup the previous
+    per-partition tables with ONLY the newly-seen urls and insert.
+    A partition that ever overflows stays saturated (all probes "maybe",
+    exact anti-join decides) — correctness never depends on the filter.
+    """
+    from pyspark.sql import functions as F
+
+    new = new_seen_df.withColumn(
+        "pid", F.pmod(F.col(hash_col), F.lit(num_partitions)).cast("int")
+    ).select("pid", hash_col)
+
+    def _upd(key, prev_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(prev_pdf):
+            cf = CuckooFilter.from_bytes(prev_pdf["table"].iloc[0])
+            sat = bool(prev_pdf["saturated"].iloc[0])
+        else:
+            cf = CuckooFilter(capacity_per_partition)
+            sat = False
+        if len(new_pdf):
+            failed = cf.insert(new_pdf[hash_col].to_numpy(dtype=np.int64))
+            sat = sat or failed > 0
+        return pd.DataFrame({"pid": [key[0]], "table": [cf.to_bytes()], "saturated": [sat]})
+
+    return (
+        prev_cuckoo_df.groupBy("pid")
+        .cogroup(new.groupBy("pid"))
+        .applyInPandas(_upd, "pid int, table binary, saturated boolean")
+    )
+
+
+def empty_cuckoo_df(spark):
+    return spark.createDataFrame([], "pid int, table binary, saturated boolean")
 
 
 def prune_with_cuckoo(candidates_df, cuckoo_df, num_partitions: int = 16,
@@ -210,6 +280,10 @@ def prune_with_cuckoo(candidates_df, cuckoo_df, num_partitions: int = 16,
             return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(ck_pdf) == 0:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
+        elif bool(ck_pdf["saturated"].iloc[0]):
+            # overflowed partition: filter may have dropped entries (false
+            # negatives) -> everything goes to the exact anti-join
+            maybe = np.ones(len(cand_pdf), dtype=bool)
         else:
             cf = CuckooFilter.from_bytes(ck_pdf["table"].iloc[0])
             maybe = cf.contains(cand_pdf[hash_col].to_numpy(dtype=np.int64))

@@ -448,6 +448,7 @@ def _fused_schedule(
     cfg: CrawlConfig,
     seen_nonempty: bool,
     frontier_nonempty: bool,
+    filter_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
     """Single-shuffle scheduling round:
     canonicalize -> seen-prune -> union frontier -> robots-flag ->
@@ -495,9 +496,16 @@ def _fused_schedule(
     if seen_nonempty:
         cand_rows = cand_rows.withColumn("url_hash", F.xxhash64(F.col("url")))
         if cfg.use_bloom:
+            # filter_df: the incrementally-maintained snapshot (built from
+            # newly-seen urls each round, O(new) not O(seen)); fall back to
+            # a full rebuild when no snapshot is carried (legacy resume)
             if cfg.filter_kind == "cuckoo":
                 per_part = max(1024, cfg.bloom_capacity // cfg.bloom_partitions)
-                ck = flt.build_cuckoo_df(seen, per_part, cfg.bloom_partitions)
+                ck = (
+                    filter_df
+                    if filter_df is not None
+                    else flt.build_cuckoo_df(seen, per_part, cfg.bloom_partitions)
+                )
                 definitely_new, maybe = flt.prune_with_cuckoo(
                     cand_rows, ck, cfg.bloom_partitions
                 )
@@ -505,7 +513,11 @@ def _fused_schedule(
                 spec = flt.BloomSpec(
                     cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions
                 )
-                bloom = flt.build_bloom_df(seen, spec)
+                bloom = (
+                    filter_df
+                    if filter_df is not None
+                    else flt.build_bloom_df(seen, spec)
+                )
                 if flt.bloom_total_bytes(spec) <= cfg.bloom_broadcast_max_bytes:
                     probed = flt.flag_with_broadcast_bloom(cand_rows, bloom, spec)
                     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -633,6 +645,7 @@ def run_round(
     flagged, budgets, scheduled, _ = _fused_schedule(
         candidates, frontier, seen, robots, credit, rnd, cfg,
         seen_nonempty, frontier_nonempty,
+        filter_df=state.get("filter"),
     )
     _mark("flagged_ckpt")
 
@@ -710,6 +723,29 @@ def run_round(
     )
     new_frontier = allowed.join(fetch_batch.select("url"), "url", "left_anti")
 
+    # filter-snapshot update: O(newly scheduled urls) per round. With no
+    # carried snapshot (fresh start / legacy resume) seed it from the full
+    # updated seen set once; every later round is incremental.
+    new_filter = None
+    if cfg.use_bloom:
+        prev = state.get("filter")
+        newly = (
+            fetch_batch.select(F.xxhash64(F.col("url")).alias("url_hash"))
+            if prev is not None
+            else new_seen.select("url_hash")
+        )
+        if cfg.filter_kind == "cuckoo":
+            per_part = max(1024, cfg.bloom_capacity // cfg.bloom_partitions)
+            new_filter = flt.update_cuckoo_df(
+                prev if prev is not None else flt.empty_cuckoo_df(spark),
+                newly, per_part, cfg.bloom_partitions,
+            )
+        else:
+            spec = flt.BloomSpec(cfg.bloom_capacity, cfg.bloom_fpr, cfg.bloom_partitions)
+            new_filter = flt.update_bloom_df(
+                prev if prev is not None else flt.empty_bloom_df(spark), newly, spec
+            )
+
     new_credit_active = (
         budgets.join(sched_per_host.select("host", "scheduled"), "host", "left")
         .select(
@@ -745,6 +781,7 @@ def run_round(
         "frontier": new_frontier,
         "seen": new_seen,
         "credit": new_credit,
+        "filter": new_filter,
         "fetch_batch": fetch_batch,
         "emitted": fetched.filter(F.col("fetch_status") == "fetched").select(
             "round", "position", "url", "spans"
@@ -779,6 +816,10 @@ class CrawlDriver:
         d.mkdir(parents=True, exist_ok=True)
         for name in ("frontier", "seen", "credit", "audit", "fetch_batch"):
             out[name].write.mode("overwrite").parquet(str(d / name))
+        if out.get("filter") is not None:
+            # the north-rule filter snapshot: resume reloads it instead of
+            # rebuilding the membership filter from the full seen set
+            out["filter"].write.mode("overwrite").parquet(str(d / "filter"))
         candidates_next.write.mode("overwrite").parquet(str(d / "next_candidates"))
         # per-partition lineage: which spark partition wrote which rows
         (d / "COMMIT").write_text(json.dumps({"round": rnd}))
@@ -799,6 +840,8 @@ class CrawlDriver:
             name: self.spark.read.parquet(str(d / name))
             for name in ("frontier", "seen", "credit")
         }
+        if (d / "filter").exists():
+            state["filter"] = self.spark.read.parquet(str(d / "filter"))
         return state, self.spark.read.parquet(str(d / "next_candidates"))
 
     def run(self, seeds: DataFrame, start_round: int = 0, resume: bool = False):
@@ -825,9 +868,12 @@ class CrawlDriver:
             # truncate state lineage every round — without this the
             # logical plan grows per round and analysis dominates runtime
             n_seen_prev = state.get("n_seen", 0)
-            state = {
+            new_state = {
                 k: out[k].localCheckpoint(eager=True) for k in ("frontier", "seen", "credit")
             }
+            if out.get("filter") is not None:
+                new_state["filter"] = out["filter"].localCheckpoint(eager=True)
+            state = new_state
             state["n_seen"] = n_seen_prev + n_sched
             state["seen_nonempty"] = state["n_seen"] > 0
             state["frontier_nonempty"] = not state["frontier"].isEmpty()

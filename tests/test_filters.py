@@ -84,3 +84,58 @@ def test_bloom_spark_build_and_prune(spark):
     # partition coverage: both sets nonempty, union = all candidates
     assert new_urls | maybe_urls == {r.url for r in cands.select("url").collect()}
     assert len(new_urls) > 200  # most new urls pruned past the anti-join
+
+
+def test_incremental_bloom_equals_rebuild(spark):
+    """OR-merged incremental snapshot is bit-identical to a full rebuild."""
+    from cc_dbp_spark.operators import filters as flt
+
+    spec = BloomSpec(capacity=10_000, fpr=0.01, num_partitions=4)
+    a = _hashes(3_000, 11)
+    b = _hashes(2_000, 12)
+    df_a = spark.createDataFrame([(int(h),) for h in a], "url_hash bigint")
+    df_b = spark.createDataFrame([(int(h),) for h in b], "url_hash bigint")
+    df_ab = df_a.unionByName(df_b)
+
+    incr = flt.update_bloom_df(
+        flt.update_bloom_df(flt.empty_bloom_df(spark), df_a, spec), df_b, spec
+    )
+    full = flt.build_bloom_df(df_ab, spec)
+    got = {r["pid"]: bytes(r["bitmap"]) for r in incr.collect()}
+    want = {r["pid"]: bytes(r["bitmap"]) for r in full.collect()}
+    assert got == want
+
+
+def test_incremental_cuckoo_no_false_negatives(spark):
+    """Incrementally updated cuckoo snapshot still answers 'maybe' for
+    every inserted member (possibly via the saturation degrade)."""
+    from cc_dbp_spark.operators import filters as flt
+
+    a = _hashes(800, 13)
+    b = _hashes(700, 14)
+    df_a = spark.createDataFrame([(int(h),) for h in a], "url_hash bigint")
+    df_b = spark.createDataFrame([(int(h),) for h in b], "url_hash bigint")
+    snap = flt.update_cuckoo_df(flt.empty_cuckoo_df(spark), df_a, 2048, 4)
+    snap = flt.update_cuckoo_df(snap, df_b, 2048, 4)
+    members = spark.createDataFrame(
+        [(int(h),) for h in np.concatenate([a, b])], "url_hash bigint"
+    )
+    new, maybe = flt.prune_with_cuckoo(members, snap, 4)
+    assert new.count() == 0  # every member must be 'maybe', never 'new'
+
+
+def test_cuckoo_saturation_degrades_to_maybe(spark):
+    """An overflowed partition must flag saturated and route every probe
+    to the exact confirm (false negatives would re-crawl seen urls)."""
+    from cc_dbp_spark.operators import filters as flt
+
+    many = _hashes(9_000, 15)  # >> capacity 1024 over 1 partition
+    df = spark.createDataFrame([(int(h),) for h in many], "url_hash bigint")
+    snap = flt.build_cuckoo_df(df, 1024, 1)
+    rows = snap.collect()
+    assert len(rows) == 1 and rows[0]["saturated"]
+    probes = spark.createDataFrame(
+        [(int(h),) for h in _hashes(500, 16)], "url_hash bigint"
+    )
+    new, maybe = flt.prune_with_cuckoo(probes, snap, 1)
+    assert new.count() == 0 and maybe.count() == 500
