@@ -84,6 +84,31 @@ def main() -> None:
     check("ivf_equijoin", "CartesianProduct" not in p,
           "IVF probes via equi-join on centroid cell, not cross join")
 
+    # 7. fused scheduling round: ONE full-data shuffle (the host/salt
+    # repartition); dedupe-agg + rank window run in-stage, and the
+    # scheduled set is a narrow filter of the checkpoint (0 exchanges)
+    from cc_dbp_spark.operators import frontier as fr
+
+    cand = spark.range(20_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".ex.com/p/"), (F.col("id") % 5000).cast("string")).alias("url"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    robots = spark.createDataFrame(
+        [("h1.ex.com", ["/deny"], [], 1.0)],
+        "host string, deny_prefixes array<string>, allow_prefixes array<string>, crawl_delay_s double",
+    )
+    credit = spark.createDataFrame([], fr.CREDIT_SCHEMA)
+    flagged, _, scheduled, _ = fr._fused_schedule(
+        cand, None, None, robots, credit, 0,
+        fr.CrawlConfig(use_bloom=False, round_budget_s=50.0),
+        seen_nonempty=False, frontier_nonempty=False,
+    )
+    p = plan_of(scheduled)
+    n_ex = p.count("Exchange")
+    check("fused_round_narrow", n_ex == 0,
+          f"scheduled set is a narrow filter of the round checkpoint (got {n_ex} exchanges)")
+
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
