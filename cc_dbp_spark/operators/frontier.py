@@ -24,6 +24,21 @@ Scale design (10^10-URL frontier, SURVEY.md §7):
 
 Python appears only in Arrow-vectorized UDFs (priority kernel, parity
 draws); every other expression is JVM/codegen.
+
+Scale deployment notes (10^10 frontier, 1000 executors):
+* per-round costs are O(candidates) + O(bloom "maybe" confirm): the
+  membership filters update incrementally from newly-scheduled urls
+  (never rebuilt from the seen set) and the whole schedule derives from
+  ONE (host, salt)-keyed shuffle of the round's rows;
+* the one remaining O(seen) touchpoint is the exact confirm anti-join
+  for filter-positive candidates. In deployment the seen table should
+  be a bucketed+sorted-by-url table (Iceberg or Hive-bucketed parquet,
+  append-only: one new file per bucket per round): the anti-join then
+  shuffles only the "maybe" rows and streams each seen bucket once,
+  with no exchange or re-sort of the seen side. The sandbox's
+  in-memory catalog cannot persist bucket metadata across sessions, so
+  checkpoints here are plain parquet and the confirm relies on the
+  filters keeping "maybe" small (fpr * candidates + true re-links).
 """
 
 from __future__ import annotations
