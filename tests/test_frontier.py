@@ -231,3 +231,40 @@ def test_fused_round_equals_reference_composition(spark, fixture_dir):
     assert skey(scheduled.select("url", "host", "rank").collect()) == skey(
         ref_sched.select("url", "host", "rank").collect()
     )
+
+
+def test_resume_restores_filter_snapshot(spark, fixture_dir, tmp_path_factory):
+    """Resume with the bloom path: the filter snapshot parquet must exist
+    in the checkpoint, reload on resume, and yield the same schedule and
+    seen set as an uninterrupted bloom run."""
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    base = dict(round_budget_s=3.0, use_bloom=True, bloom_capacity=1 << 14,
+                bloom_partitions=4)
+    straight = fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(**base, max_rounds=4)
+    ).run(seeds)
+    want = [
+        (r["round"], r["position"], r["url"])
+        for r in straight["schedule"].orderBy("round", "position").collect()
+    ]
+    want_seen = {(r["url"], r["round_seen"]) for r in straight["state"]["seen"].collect()}
+
+    ckpt = tmp_path_factory.mktemp("ckpt_bloom")
+    fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(**base, max_rounds=2), state_dir=ckpt
+    ).run(seeds)
+    assert (ckpt / "round_0001" / "filter").exists()  # snapshot written
+    resumed = fr.CrawlDriver(
+        spark, robots, docs, fr.CrawlConfig(**base, max_rounds=4), state_dir=ckpt
+    ).run(seeds, resume=True)
+    # a resumed run's schedule covers only the resumed rounds (2-3); the
+    # earlier rounds already live in the fetch_batch checkpoints
+    got = [
+        (r["round"], r["position"], r["url"])
+        for r in resumed["schedule"].orderBy("round", "position").collect()
+    ]
+    got_seen = {(r["url"], r["round_seen"]) for r in resumed["state"]["seen"].collect()}
+    assert got == [w for w in want if w[0] >= 2]
+    assert got_seen == want_seen
