@@ -792,11 +792,28 @@ def run_round(
         )
     )
 
+    # per-partition lineage: which partition of the materialized fetch
+    # batch holds which rows / how many fetches vs misses — the rebuild's
+    # analogue of the reference's per-thread finished-N.txt progress
+    # ledgers (SaveCommonCrawlBase.java:219,238)
+    lineage = (
+        fetched.groupBy(F.spark_partition_id().alias("part_id"))
+        .agg(
+            F.count("*").alias("rows"),
+            F.count(F.when(F.col("fetch_status") == "fetched", 1)).alias("fetched"),
+            F.count(F.when(F.col("fetch_status") == "miss", 1)).alias("missed"),
+            F.min("position").alias("min_position"),
+            F.max("position").alias("max_position"),
+        )
+        .withColumn("round", F.lit(rnd))
+    )
+
     return {
         "frontier": new_frontier,
         "seen": new_seen,
         "credit": new_credit,
         "filter": new_filter,
+        "lineage": lineage,
         "fetch_batch": fetch_batch,
         "emitted": fetched.filter(F.col("fetch_status") == "fetched").select(
             "round", "position", "url", "spans"
@@ -829,7 +846,7 @@ class CrawlDriver:
             return
         d = self.state_dir / f"round_{rnd:04d}"
         d.mkdir(parents=True, exist_ok=True)
-        for name in ("frontier", "seen", "credit", "audit", "fetch_batch"):
+        for name in ("frontier", "seen", "credit", "audit", "fetch_batch", "lineage"):
             out[name].write.mode("overwrite").parquet(str(d / name))
         if out.get("filter") is not None:
             # the north-rule filter snapshot: resume reloads it instead of
