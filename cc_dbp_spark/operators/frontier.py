@@ -554,7 +554,10 @@ def _fused_schedule(
     else:
         all_rows = cand_rows
 
-    pre = all_rows.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=True)
+    # lazy checkpoints throughout the round: each eager barrier serializes
+    # the driver; lazy ones materialize inside the first consuming job, so
+    # a round runs as one collect (hot hosts) plus one cascading job
+    pre = all_rows.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=False)
     budgets = _host_budgets_from_stats(pre, credit, robots, cfg)
     hot_rows = (
         pre.filter(F.col("n_raw") > cfg.hot_host_threshold)
@@ -600,7 +603,7 @@ def _fused_schedule(
         dedup.withColumn("priority", priority_col("depth", "link_count"))
         .join(F.broadcast(budgets.select("host", "k", "delay")), "host", "left")
         .withColumn("r1", F.row_number().over(w1))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     pre1 = flagged.filter(
@@ -677,13 +680,13 @@ def run_round(
             F.count(F.when(~F.col("denied"), 1)).alias("n"),
             F.count(F.when(F.col("denied"), 1)).alias("denied"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     _mark("host_stats_ckpt")
     cand_per_host = host_stats.select("host", "n")
     denied_counts = host_stats.filter(F.col("denied") > 0).select("host", "denied")
 
-    scheduled = scheduled.localCheckpoint(eager=True)
+    scheduled = scheduled.localCheckpoint(eager=False)
     _mark("topk_ckpt")
 
     # global deterministic crawl order: host ASC, per-host rank ASC.
@@ -692,7 +695,7 @@ def run_round(
     # single-partition window over the whole batch.
     sched_per_host = scheduled.groupBy("host").agg(
         F.count("*").alias("scheduled"), F.first("delay").alias("delay_s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     _mark("sched_per_host_ckpt")
     off_w = (
         Window.orderBy(F.col("host").asc())
@@ -720,7 +723,7 @@ def run_round(
         .join(docs.alias("d"), F.col("b.url") == F.col("d.doc_id"), "left")
         .select("b.*", F.col("d.spans").alias("spans"))
         .withColumn("fetch_status", F.when(F.col("spans").isNotNull(), "fetched").otherwise("miss"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     _mark("fetched_ckpt")
 
