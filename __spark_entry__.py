@@ -326,6 +326,31 @@ def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["schedule"].select("round", "position", "url", "host", "depth")
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt text -> per-host rules table (the politeness join
+    input). Deterministic bodies synthesized per host; semantics are
+    pytest-differential vs the pure parse kernel (rows-only here)."""
+    from cc_dbp_spark.operators import robots as rb
+
+    d = _docs(spark, sf_dir).select("source").distinct()
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+              "User-agent: ccdbp\nDisallow: /deny-"),
+        F.col("source"),
+        F.lit("/\nAllow: /deny-"), F.col("source"), F.lit("/ok/\nCrawl-delay: 0.5\n"),
+    )
+    bodies = d.select(
+        F.concat(F.col("source"), F.lit(".ex.com")).alias("host"), body.alias("body")
+    )
+    r = rb.parse_robots(bodies, agent="ccdbp")
+    return r.select(
+        "host",
+        F.concat_ws(",", "deny_prefixes").alias("deny"),
+        F.concat_ws(",", "allow_prefixes").alias("allow"),
+        "crawl_delay_s",
+    )
+
+
 def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction from interleaved spans (LinkAnnotation target
     surface): per-target-host in-link counts. Fixture-backed, rows-only."""
@@ -738,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_round_set": q_crawl_round_set,
         "crawl_multiround": q_crawl_multiround,
         "outlinks": q_outlinks,
+        "robots_parse": q_robots_parse,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "emb_near_dups": q_emb_near_dups,
@@ -1011,6 +1037,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_counts": _canon_cte(_RAW_URL_SQL) + """
             SELECT host_out AS host, count(*) AS n_urls FROM canon GROUP BY 1
+        """,
+        # expected robots.txt parse result for the deterministic bodies
+        # q_robots_parse synthesizes (ccdbp group beats '*', so deny/allow
+        # come from the specific group and crawl_delay is 0.5)
+        "robots_parse": """
+            SELECT source || '.ex.com' AS host,
+                   '/deny-' || source || '/' AS deny,
+                   '/deny-' || source || '/ok/' AS allow,
+                   0.5 AS crawl_delay_s
+            FROM (SELECT DISTINCT source FROM documents)
         """,
         "gazetteer_mentions": _MENTION_CTE + """
             SELECT doc_id, entity_id, cstart AS char_start, cend AS char_end

@@ -1,0 +1,76 @@
+"""robots.txt parser tests: REP group selection, prefix collection,
+crawl-delay, and the Spark mapInPandas path feeding the scheduler."""
+
+from __future__ import annotations
+
+from cc_dbp_spark.operators import robots as rb
+
+CLASSIC = """
+# comments everywhere
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2
+
+User-agent: ccdbp
+Disallow: /no-ccdbp/
+Allow: /no-ccdbp/except/
+Crawl-delay: 0.5
+"""
+
+
+def test_specific_group_beats_wildcard():
+    r = rb.parse_robots_body(CLASSIC, agent="ccdbp")
+    assert r["deny_prefixes"] == ["/no-ccdbp/"]
+    assert r["allow_prefixes"] == ["/no-ccdbp/except/"]
+    assert r["crawl_delay_s"] == 0.5
+
+
+def test_wildcard_group_for_other_agents():
+    r = rb.parse_robots_body(CLASSIC, agent="otherbot")
+    assert r["deny_prefixes"] == ["/private/", "/tmp/"]
+    assert r["allow_prefixes"] == []
+    assert r["crawl_delay_s"] == 2.0
+
+
+def test_stacked_user_agents_share_group():
+    body = "User-agent: a\nUser-agent: ccdbp\nDisallow: /x/\n"
+    assert rb.parse_robots_body(body, agent="ccdbp")["deny_prefixes"] == ["/x/"]
+
+
+def test_empty_disallow_means_allow_all():
+    body = "User-agent: *\nDisallow:\n"
+    r = rb.parse_robots_body(body)
+    assert r["deny_prefixes"] == [] and r["crawl_delay_s"] is None
+
+
+def test_garbage_tolerated():
+    r = rb.parse_robots_body("Disallow: /orphan/\nnonsense line\nCrawl-delay: soon\n")
+    assert r == {"deny_prefixes": [], "allow_prefixes": [], "crawl_delay_s": None}
+    assert rb.parse_robots_body("")["deny_prefixes"] == []
+
+
+def test_spark_parse_feeds_scheduler_join(spark):
+    bodies = spark.createDataFrame(
+        [
+            ("a.example.com", CLASSIC),
+            ("b.example.com", "User-agent: *\nDisallow: /all/\n"),
+            ("c.example.com", None),
+        ],
+        "host string, body string",
+    )
+    rules = rb.parse_robots(bodies, agent="ccdbp")
+    assert rules.schema.simpleString() == (
+        "struct<host:string,deny_prefixes:array<string>,"
+        "allow_prefixes:array<string>,crawl_delay_s:double>"
+    )
+    got = {r["host"]: r.asDict() for r in rules.collect()}
+    assert got["a.example.com"]["deny_prefixes"] == ["/no-ccdbp/"]
+    assert got["a.example.com"]["crawl_delay_s"] == 0.5
+    assert got["b.example.com"]["deny_prefixes"] == ["/all/"]
+    assert got["c.example.com"]["deny_prefixes"] == []
+    # per-body kernel == Spark path (differential)
+    for host, body in [("a.example.com", CLASSIC), ("b.example.com", "User-agent: *\nDisallow: /all/\n")]:
+        want = rb.parse_robots_body(body, agent="ccdbp")
+        assert got[host]["deny_prefixes"] == want["deny_prefixes"]
+        assert got[host]["allow_prefixes"] == want["allow_prefixes"]
