@@ -268,3 +268,83 @@ def test_resume_restores_filter_snapshot(spark, fixture_dir, tmp_path_factory):
     got_seen = {(r["url"], r["round_seen"]) for r in resumed["state"]["seen"].collect()}
     assert got == [w for w in want if w[0] >= 2]
     assert got_seen == want_seen
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_fused_randomized_differential(spark, seed):
+    """Randomized fast-vs-naive: fused single-shuffle round == reference
+    composition over random frontiers, seen sets, robots, credits, and
+    hot-host settings."""
+    import random
+
+    rng = random.Random(seed)
+    hosts = [f"h{i}.ex{rng.randint(0, 2)}.org" for i in range(rng.randint(3, 8))]
+    raw = []
+    for _ in range(rng.randint(150, 400)):
+        h = rng.choice(hosts)
+        path = f"/p{rng.randint(0, 40)}" + ("/" if rng.random() < 0.3 else "")
+        frag = "#x" if rng.random() < 0.2 else ""
+        port = ":80" if rng.random() < 0.2 else ""
+        raw.append((f"http://{h.upper()}{port}{path}{frag}", rng.randint(0, 4)))
+    cand = spark.createDataFrame(raw, "url string, depth int")
+    canon_urls = sorted({canonicalize_py(u) for u, _ in raw})
+    seen_urls = rng.sample(canon_urls, k=len(canon_urls) // 5)
+    seen_rows = spark.createDataFrame(
+        [(u, 0, 0) for u in seen_urls], fr.SEEN_SCHEMA
+    )
+    frontier_rows = spark.createDataFrame(
+        [
+            (f"http://{h}/carried/{i}", h, rng.randint(0, 3), rng.randint(0, 9), 0)
+            for i, h in enumerate(rng.sample(hosts, k=min(3, len(hosts))))
+        ],
+        fr.FRONTIER_SCHEMA,
+    )
+    robots = spark.createDataFrame(
+        [
+            (h, [f"/p{rng.randint(0, 40)}"], [], float(rng.choice([0.5, 1.0, 4.0])))
+            for h in rng.sample(hosts, k=len(hosts) // 2)
+        ],
+        "host string, deny_prefixes array<string>, allow_prefixes array<string>, crawl_delay_s double",
+    )
+    credit = spark.createDataFrame(
+        [(h, rng.uniform(0, 3)) for h in rng.sample(hosts, k=len(hosts) // 3)],
+        fr.CREDIT_SCHEMA,
+    )
+    cfg = fr.CrawlConfig(
+        round_budget_s=rng.choice([2.0, 5.0]),
+        use_bloom=rng.random() < 0.5,
+        bloom_capacity=1 << 12, bloom_partitions=4,
+        hot_host_threshold=rng.choice([10, 10**9]),
+        hot_host_cap=5,
+    )
+    rnd = rng.randint(1, 3)
+
+    flagged, budgets, scheduled, _ = fr._fused_schedule(
+        cand, frontier_rows, seen_rows, robots, credit, rnd, cfg,
+        seen_nonempty=True, frontier_nonempty=True,
+    )
+    merged = fr._merge_candidates(
+        cand, frontier_rows, seen_rows, rnd, cfg,
+        seen_nonempty=True, frontier_nonempty=True,
+    )
+    ref_flagged = fr._robots_flag(merged, robots)
+    host_stats = ref_flagged.groupBy("host").agg(
+        F.count(F.when(~F.col("denied"), 1)).alias("n"),
+        F.count(F.when(F.col("denied"), 1)).alias("denied"),
+    )
+    ref_budgets = fr._host_budgets_from_stats(host_stats, credit, robots, cfg)
+    ref_sched = fr._topk_per_host(
+        ref_flagged.filter(~F.col("denied")).drop("denied"), ref_budgets, cfg
+    )
+
+    key = lambda rows: sorted(
+        (r["url"], r["host"], r["depth"], r["link_count"], r["round_added"], r["denied"])
+        for r in rows
+    )
+    assert key(
+        flagged.select("url", "host", "depth", "link_count", "round_added", "denied").collect()
+    ) == key(ref_flagged.collect())
+    skey = lambda rows: sorted((r["url"], r["host"], r["rank"]) for r in rows)
+    assert skey(scheduled.select("url", "host", "rank").collect()) == skey(
+        ref_sched.select("url", "host", "rank").collect()
+    )
