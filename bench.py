@@ -102,7 +102,11 @@ def crawl_round_bench(spark, n_urls: int) -> dict:
     """One full scheduling round over the synthetic frontier; returns
     timing + throughput. This is the scaling-evidence job."""
     from cc_dbp_spark.operators import frontier
+    from cc_dbp_spark.session import clear_persisted
 
+    # free persisted blocks (incl. localCheckpoints) from earlier reps so
+    # accumulated storage can't evict/GC-thrash the rep being measured
+    clear_persisted(spark)
     candidates = synth_frontier(spark, n_urls).localCheckpoint(eager=True)
     robots = synth_robots(spark).localCheckpoint(eager=True)
     docs = spark.createDataFrame(
@@ -145,7 +149,13 @@ def run_crawl_only(cores: int) -> None:
     warm_python_worker_pool(spark, cores)
     crawl_round_bench(spark, CRAWL_N_URLS // 8)  # warm up JVM/Arrow paths
     runs = [crawl_round_bench(spark, CRAWL_N_URLS) for _ in range(2)]
-    res = min(runs, key=lambda r: r["elapsed_s"])  # min-of-2: VM jitter
+    import statistics
+
+    med = statistics.median(r["elapsed_s"] for r in runs)
+    res = dict(min(runs, key=lambda r: abs(r["elapsed_s"] - med)))
+    res["elapsed_s"] = round(med, 3)
+    res["urls_scheduled_per_sec"] = round(res["n_scheduled"] / med, 1)
+    res["candidates_per_sec"] = round(res["n_candidates"] / med, 1)
     res["cores"] = cores
     res["all_runs_s"] = [r["elapsed_s"] for r in runs]
     print("CRAWLBENCH " + json.dumps(res))
@@ -184,33 +194,49 @@ def _one_crawl_probe(cores: int) -> dict | None:
     return json.loads(line[-1][len("CRAWLBENCH "):]) if line else None
 
 
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+
+
 def run_scaling() -> dict:
     """Same job, same input, two parallelism levels (N vs 4N cores).
 
-    This VM shares hardware with other tenants and shows 2-3x run-to-run
-    swings, so the probe interleaves N/4N pairs and keeps each side's
-    best: a noise burst hits one run, not the reported pair. A second
-    pair only runs when the first lands below the 0.8 target.
-    """
+    Fixed protocol (no adaptive stopping): SCALE_PAIRS interleaved
+    (N, 4N) subprocess pairs, each probe = fresh JVM, warmup round, then
+    2 timed rounds with persisted state cleared between reps. The
+    reported per-side elapsed is the MEDIAN of all timed rounds across
+    all probes; every raw round time is recorded in `raw_runs_s`. This
+    VM shares hardware with other tenants (2-3x bursts), which is why
+    the pairs are interleaved — a noise burst lands on both sides."""
+    import statistics
+
     n, n4 = SCALE_CORES
-    best: dict[int, dict] = {}
-    eff = 0.0
-    for _ in range(2):
+    raw: dict[int, list[float]] = {n: [], n4: []}
+    sample: dict[int, dict] = {}
+    for _ in range(SCALE_PAIRS):
         for cores in (n, n4):
             r = _one_crawl_probe(cores)
             if r is None:
                 return {"error": "probe produced no CRAWLBENCH line"}
-            if cores not in best or r["candidates_per_sec"] > best[cores]["candidates_per_sec"]:
-                best[cores] = r
-        eff = best[n4]["candidates_per_sec"] / best[n]["candidates_per_sec"] / 4.0
-        if eff >= 0.8:
-            break
+            raw[cores].extend(r["all_runs_s"])
+            sample[cores] = r
+    sides = {}
+    for cores in (n, n4):
+        med = statistics.median(raw[cores])
+        s = dict(sample[cores])
+        s["elapsed_s"] = round(med, 3)
+        s["urls_scheduled_per_sec"] = round(s["n_scheduled"] / med, 1)
+        s["candidates_per_sec"] = round(s["n_candidates"] / med, 1)
+        s["raw_runs_s"] = raw[cores]
+        del s["all_runs_s"]
+        sides[cores] = s
+    eff = sides[n4]["candidates_per_sec"] / sides[n]["candidates_per_sec"] / 4.0
     with open("/proc/loadavg") as f:
         load = f.read().split()[:3]
     return {
         "n_urls": CRAWL_N_URLS,
-        f"local{n}": best[n],
-        f"local{n4}": best[n4],
+        "protocol": f"median of {SCALE_PAIRS} interleaved pairs x 2 rounds/probe",
+        f"local{n}": sides[n],
+        f"local{n4}": sides[n4],
         "speedup_n_to_4n": round(eff * 4.0, 3),
         "scaling_efficiency": round(eff, 3),
         "loadavg_after": load,

@@ -313,16 +313,26 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
     j = df.withColumn("__path", path_col(F.col("url"))).join(
         F.broadcast(robots), "host", "left"
     )
-    denied_expr = F.when(
-        F.col("deny_prefixes").isNotNull()
-        & F.exists("deny_prefixes", lambda p: F.col("__path").startswith(p)),
-        F.lit(True),
-    ).otherwise(F.lit(False))
-    allow_fail = F.when(
-        F.col("allow_prefixes").isNotNull() & (F.size("allow_prefixes") > 0),
-        ~F.exists("allow_prefixes", lambda p: F.col("__path").startswith(p)),
-    ).otherwise(F.lit(False))
-    return j.withColumn("denied", denied_expr | allow_fail).select(*cols, "denied")
+
+    # RFC-9309 longest-match: the most specific (longest) matching prefix
+    # among deny+allow decides; ties go to allow; matching neither list
+    # (or no robots row at all) -> allowed. Pure-Python twin:
+    # robots.is_allowed. Native: longest matching prefix length per list.
+    def longest(col_name: str):
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.col(col_name),
+                    lambda p: F.when(
+                        F.col("__path").startswith(p), F.length(p)
+                    ).otherwise(F.lit(-1)),
+                )
+            ),
+            F.lit(-1),
+        )
+
+    denied_expr = longest("deny_prefixes") > longest("allow_prefixes")
+    return j.withColumn("denied", denied_expr).select(*cols, "denied")
 
 
 def _robots_flag(merged: DataFrame, robots: DataFrame) -> DataFrame:
@@ -556,7 +566,12 @@ def _fused_schedule(
 
     # lazy checkpoints throughout the round: each eager barrier serializes
     # the driver; lazy ones materialize inside the first consuming job, so
-    # a round runs as one collect (hot hosts) plus one cascading job
+    # a round runs as one collect (hot hosts) plus one cascading job.
+    # all_rows itself checkpoints too: the hot-host collect below is the
+    # first consumer, and without the checkpoint the second job (schedule)
+    # would recompute the whole canonicalize + seen-prune chain over the
+    # full frontier a second time.
+    all_rows = all_rows.localCheckpoint(eager=False)
     pre = all_rows.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=False)
     budgets = _host_budgets_from_stats(pre, credit, robots, cfg)
     hot_rows = (
@@ -704,6 +719,7 @@ def run_round(
     offsets = sched_per_host.select(
         "host", F.coalesce(F.sum("scheduled").over(off_w), F.lit(0)).alias("host_offset")
     )
+    _mark("offsets_plan")
     fetch_batch = scheduled.join(F.broadcast(offsets), "host").select(
         F.lit(rnd).alias("round"),
         (F.col("host_offset") + F.col("rank") - 1).cast("int").alias("position"),
@@ -723,8 +739,9 @@ def run_round(
         .join(docs.alias("d"), F.col("b.url") == F.col("d.doc_id"), "left")
         .select("b.*", F.col("d.spans").alias("spans"))
         .withColumn("fetch_status", F.when(F.col("spans").isNotNull(), "fetched").otherwise("miss"))
-        .localCheckpoint(eager=False)
     )
+    _mark("fetched_plan")
+    fetched = fetched.localCheckpoint(eager=False)
     _mark("fetched_ckpt")
 
     outlinks = (

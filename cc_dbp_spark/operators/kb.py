@@ -100,46 +100,55 @@ def opic_scores(edges: DataFrame, n_rounds: int = 2, damping: float = 0.85) -> D
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    state = nodes.withColumn("cash", F.lit(1.0 / n))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    history = nodes.withColumn("history", F.lit(0.0))
-    for _ in range(n_rounds):
-        flow = (
-            state.join(outdeg, state["node"] == outdeg["src"], "left")
-            .select(
-                "node", "cash",
-                F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+    try:
+        n = nodes.count()
+        state = nodes.withColumn("cash", F.lit(1.0 / n))
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        history = nodes.withColumn("history", F.lit(0.0))
+        for _ in range(n_rounds):
+            flow = (
+                state.join(outdeg, state["node"] == outdeg["src"], "left")
+                .select(
+                    "node", "cash",
+                    F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"),
+                )
             )
-        )
-        transfers = (
-            flow.filter(F.col("outdeg") > 0)
-            .join(edges, flow["node"] == edges["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("cash") * damping / F.col("outdeg")).alias("inflow"),
+            transfers = (
+                flow.filter(F.col("outdeg") > 0)
+                .join(edges, flow["node"] == edges["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("cash") * damping / F.col("outdeg")).alias("inflow"),
+                )
+                .groupBy("node")
+                .agg(F.sum("inflow").alias("inflow"))
             )
-            .groupBy("node")
-            .agg(F.sum("inflow").alias("inflow"))
-        )
-        dangling = (
-            flow.filter(F.col("outdeg") == 0).agg(F.sum("cash")).collect()[0][0] or 0.0
-        )
-        total = flow.agg(F.sum("cash")).collect()[0][0] or 0.0
-        uniform = ((1.0 - damping) * total + damping * dangling) / n
-        history = (
-            history.join(state.select("node", "cash"), "node")
-            .select("node", (F.col("history") + F.col("cash")).alias("history"))
-            .localCheckpoint(eager=True)
-        )
-        state = (
-            nodes.join(transfers, "node", "left")
-            .select(
-                "node",
-                (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(uniform)).alias("cash"),
+            # one driver barrier per round, not two: total cash + dangling
+            # mass in a single job.
+            total, dangling = flow.agg(
+                F.sum("cash"),
+                F.sum(F.when(F.col("outdeg") == 0, F.col("cash")).otherwise(F.lit(0.0))),
+            ).collect()[0]
+            total, dangling = total or 0.0, dangling or 0.0
+            uniform = ((1.0 - damping) * total + damping * dangling) / n
+            history = (
+                history.join(state.select("node", "cash"), "node")
+                .select("node", (F.col("history") + F.col("cash")).alias("history"))
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
+            state = (
+                nodes.join(transfers, "node", "left")
+                .select(
+                    "node",
+                    (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(uniform)).alias("cash"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return history.join(state, "node").select(
+            "node", (F.col("history") + F.col("cash")).alias("history")
         )
-    return history.join(state, "node").select(
-        "node", (F.col("history") + F.col("cash")).alias("history")
-    )
+    finally:
+        # scores are localCheckpointed per round, so lineage no longer
+        # references edges; repeated calls must not accumulate cached
+        # relations in executor storage.
+        edges.unpersist()

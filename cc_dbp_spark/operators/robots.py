@@ -12,7 +12,11 @@ subset):
   MOST SPECIFIC matching group wins (longest agent token), ``*`` only
   when nothing else matches.
 * ``Disallow:`` / ``Allow:`` path prefixes collected per group; empty
-  ``Disallow:`` means allow-all (contributes no prefix).
+  ``Disallow:`` means allow-all (contributes no prefix). Rule
+  EVALUATION (in the scheduler's politeness join and the pure-Python
+  oracle) is RFC-9309 longest-match: the most specific (longest)
+  matching prefix among allow+deny decides; ties go to allow; a path
+  matching neither list is allowed.
 * ``Crawl-delay: N`` seconds (float); invalid/missing -> null (the
   scheduler substitutes its default).
 * unknown directives and comments (``# ...``) ignored.
@@ -84,7 +88,10 @@ def parse_robots_body(body: str, agent: str = "ccdbp") -> dict:
         for a in g["agents"]:
             if a == "*":
                 spec = 0
-            elif a and a in agent_l or agent_l in a:
+            elif a and a in agent_l:
+                # the group token must be contained in OUR agent token;
+                # the reverse ("ccdbp-mobile" matching agent "ccdbp")
+                # would select rules meant for a different crawler.
                 spec = len(a)
             else:
                 continue
@@ -97,6 +104,16 @@ def parse_robots_body(body: str, agent: str = "ccdbp") -> dict:
         "allow_prefixes": list(best["allow"]),
         "crawl_delay_s": best["delay"],
     }
+
+
+def is_allowed(path: str, deny_prefixes: list[str], allow_prefixes: list[str]) -> bool:
+    """RFC-9309 longest-match rule evaluation (pure-Python twin of the
+    scheduler's native expression in ``frontier._with_denied``): the
+    longest matching prefix wins; equal lengths -> allow; no match on
+    either list -> allowed."""
+    best_deny = max((len(d) for d in deny_prefixes or [] if path.startswith(d)), default=-1)
+    best_allow = max((len(a) for a in allow_prefixes or [] if path.startswith(a)), default=-1)
+    return best_allow >= best_deny
 
 
 def parse_robots(bodies: DataFrame, agent: str = "ccdbp",

@@ -19,8 +19,9 @@ Round r:
      (depth=min, link_count+=new).
   3. drop URLs already in the seen set (exact membership, the
      reference's Set.contains semantics, CreateTsvDataset.java:64).
-  4. robots filter: drop if any deny-prefix matches the path and
-     allow-prefixes (when non-empty) don't; dropped = permanent.
+  4. robots filter (RFC-9309 longest-match): the longest matching
+     prefix among deny+allow decides, ties -> allow, no match ->
+     allowed; dropped = permanent.
   5. politeness: credit[host] += round_budget_s;
      k = floor(credit/delay); schedule top-k per host ordered by
      (priority DESC, pseudoRandomFromString(url) ASC, url ASC);
@@ -37,6 +38,7 @@ from dataclasses import dataclass, field
 from cc_dbp_spark.functions.parity import pseudo_random_from_string
 from cc_dbp_spark.functions.priority import priority_score
 from cc_dbp_spark.functions.urlnorm import canonicalize_py, host_py, path_py
+from cc_dbp_spark.operators.robots import is_allowed as robots_allowed
 
 
 @dataclass
@@ -61,13 +63,7 @@ def _allowed(url: str, rules: dict) -> bool:
     rule = rules.get(host)
     if rule is None:
         return True
-    for d in rule["deny_prefixes"]:
-        if path.startswith(d):
-            return False
-    allow = rule["allow_prefixes"]
-    if allow:
-        return any(path.startswith(a) for a in allow)
-    return True
+    return robots_allowed(path, rule["deny_prefixes"], rule["allow_prefixes"])
 
 
 def run_oracle(

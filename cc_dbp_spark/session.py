@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # local mode: driver == executor. 8g is deliberate: benchmarks
+        # clear persisted localCheckpoint blocks between reps
+        # (session.clear_persisted), which fixes the storage-eviction
+        # churn that an accumulating heap showed — and A/B runs show a
+        # 48g heap makes the first heavy pandas-UDF query pay a one-off
+        # multi-10s stall (heap expansion + GC ergonomics), slowing the
+        # whole suite 2-3x.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # local[N] shuffles go through the local filesystem: compression is
         # pure CPU overhead there (~40% of a shuffle-heavy round, measured
@@ -51,6 +58,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def clear_persisted(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD — including localCheckpoint blocks,
+    which ``spark.catalog.clearCache()`` does NOT touch. Benchmarks call
+    this between repetitions so storage from earlier reps can't evict /
+    GC-thrash the rep being measured."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+        n += 1
+    return n
 
 
 def warm_python_worker_pool(spark: SparkSession, cores: int | None = None) -> None:
