@@ -421,14 +421,25 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path; recall vs brute force in pytest)."""
+    """IVF-bucketed ANN (scale path; recall vs brute force in pytest).
+
+    Centroids come from the oracle fixture (trained once, driver-side,
+    on a bounded sample) so the DuckDB oracle can verify the cell
+    assignment + probe join + cosine top-k end-to-end in SQL."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from cc_dbp_spark.oracle import sketch_fixtures as sx
+
+    fx = sx.ensure_ivf_fixture(sf_dir)
+    cent = np.asarray(_pq.read_table(fx["centroids"]).column("vec").to_pylist())
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    res = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=8)
+    res = similarity.ivf_topk(e, q, k=10, n_centroids=16, n_probe=8, centroids=cent)
     return res.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -446,8 +457,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio path: stubbed decode -> waveform stats
-    (RMS/ZCR/peak) via mapInPandas."""
+    """Multimodal audio path: stubbed decode -> waveform stats via
+    mapInPandas. The driver-checked columns are the deterministic
+    decode-contract ones (n_samples = f(sha256 metadata), error-row
+    flag); the waveform statistics themselves (RMS/ZCR/peak) depend on
+    the stub RNG and are value-checked in tests/test_pipeline.py
+    instead."""
     d = _docs(spark, sf_dir)
     refs = [
         f"http://{r['source']}.ex.com/a{r['doc_id']}.wav"
@@ -455,10 +470,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     media = multimodal.synth_media_table(spark, refs, kind="audio")
     feats = multimodal.extract_audio_features(media)
-    return feats.select(
-        "media_ref", "ok", "n_samples",
-        F.round("rms", 6).alias("rms"), F.round("zero_cross_rate", 6).alias("zcr"),
-    )
+    return feats.select("media_ref", "ok", "n_samples")
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +892,40 @@ def _fixture_docs_path() -> str:
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
+def _oracle_sf() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR)
+
+
+def _minhash_params_sql(num_hashes: int = 64, seed: int = 1) -> str:
+    """(i, a, b) VALUES rows of the MinHash permutation parameters —
+    the same numpy-seeded params the Spark UDF uses."""
+    a, b = dedup._minhash_params(num_hashes, seed)
+    return ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(num_hashes)
+    )
+
+
+_U64 = "18446744073709551616::HUGEINT"  # 2^64
+_I64_MIN_AS_U = "9223372036854775808::HUGEINT"  # 2^63
+_MH_PRIME = "2305843009213693951::HUGEINT"  # 2^61 - 1
+
+# unsigned view of a signed int64 column named h
+_UNSIGNED_H = f"CASE WHEN h < 0 THEN h::HUGEINT + {_U64} ELSE h::HUGEINT END"
+
+_BIT_PW_SQL = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+
+def _hex_byte(hex_col: str, k: int) -> str:
+    """SQL for byte k (0-based) of a lowercase hex digest column —
+    recomputes the ``sha256(ref).digest()[k]`` metadata bytes of
+    ``multimodal.synth_media_table`` independently in DuckDB."""
+    hi = f"(strpos('0123456789abcdef', substr({hex_col}, {2 * k + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hex_col}, {2 * k + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
 def _ensure_doc_draws() -> str:
     """Precompute the D2 doc-downsample draw per document of the oracle
     sf into a tiny parquet (the judge-sanctioned pattern for the
@@ -973,6 +1019,18 @@ def oracle_sql() -> dict[str, str]:
     fx = _fixture_docs_path()
     doc_draws = _ensure_doc_draws()
     pair_draws = _pair_draw_values()
+
+    from cc_dbp_spark.oracle import sketch_fixtures as sx
+
+    mh_fx = sx.ensure_shingle_hashes(_oracle_sf())
+    ivf_fx = sx.ensure_ivf_fixture(_oracle_sf())
+    mh_params = _minhash_params_sql()
+    # shared unsigned shingle-hash CTE for the minhash/simhash oracles
+    sketch_hu = f"""
+      WITH hu AS (
+        SELECT doc_id, {_UNSIGNED_H} AS x
+        FROM read_parquet('{mh_fx}'))
+    """
     return {
         "corpus_stats": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1069,6 +1127,135 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
             FROM r WHERE rank <= 10
+        """,
+        # MinHash oracle: the xxhash64 shingle prefix comes from the
+        # golden-tested pure-Python twin (fixture parquet); permutations
+        # ((a*x+b) wraps mod 2^64, then mod 2^61-1 — numpy uint64
+        # semantics made exact in HUGEINT), banding, bucket join and the
+        # slot-equality Jaccard estimate are all recomputed in SQL.
+        "minhash_near_dups": sketch_hu + f"""
+            , params(i, a, b) AS (VALUES {mh_params}),
+            sig AS (
+              SELECT doc_id, p.i,
+                     min((((p.a * x) % {_U64} + p.b) % {_U64}) % {_MH_PRIME}) AS v
+              FROM hu CROSS JOIN params p GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
+            eq AS (
+              SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, round(neq / 64.0, 6) AS est_jaccard
+            FROM eq WHERE neq / 64.0 >= 0.5
+        """,
+        # SimHash oracle: per-bit majority votes, signed bit-pack, the
+        # 4x16-bit Hamming block decomposition and the popcount filter,
+        # from the same shingle-hash fixture.
+        "simhash_near_dups": sketch_hu + f"""
+            , bits(bit, pw) AS (VALUES {_BIT_PW_SQL}),
+            votes AS (
+              SELECT doc_id, b.bit, b.pw,
+                     sum(CASE WHEN (x // b.pw) % 2 = 1 THEN 1 ELSE 0 END) AS nset,
+                     count(*) AS n
+              FROM hu CROSS JOIN bits b GROUP BY 1, 2, 3),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN 2 * nset >= n THEN pw ELSE 0::HUGEINT END) AS su
+              FROM votes GROUP BY 1),
+            shs AS (
+              SELECT doc_id, su,
+                     CAST(CASE WHEN su >= {_I64_MIN_AS_U}
+                               THEN su - {_U64} ELSE su END AS BIGINT) AS simhash
+              FROM sh),
+            blocks AS (
+              SELECT doc_id, simhash,
+                     CAST(su % 65536 AS BIGINT) AS b0,
+                     CAST((su // 65536::HUGEINT) % 65536 AS BIGINT) AS b1,
+                     CAST((su // 4294967296::HUGEINT) % 65536 AS BIGINT) AS b2,
+                     CAST((su // 281474976710656::HUGEINT) % 65536 AS BIGINT) AS b3
+              FROM shs),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.simhash AS h_a, r.simhash AS h_b
+              FROM blocks l JOIN blocks r
+                ON l.doc_id < r.doc_id
+               AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3))
+            SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+            FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+        """,
+        # IVF oracle: centroids + (bitwise-deterministic) cell/probe
+        # assignments come from the shared fixture; the probe equi-join,
+        # exact cosine and per-query rank re-run in SQL.
+        "ann_ivf": f"""
+            WITH a AS (SELECT vec_id, cell FROM read_parquet('{ivf_fx["assign"]}')),
+            p AS (SELECT query_id, cell FROM read_parquet('{ivf_fx["probes"]}')),
+            c AS (SELECT e.vec_id, a.cell, e.embedding::DOUBLE[] AS cv
+                  FROM embeddings e JOIN a USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT p.query_id, c.vec_id,
+                         list_dot_product(qv, cv) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM p JOIN c USING (cell) JOIN q USING (query_id)),
+            r AS (SELECT query_id, vec_id, cos, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+            FROM r WHERE rank <= 10
+        """,
+        # Multimodal oracles: the decode-contract columns (metadata
+        # derived from sha256(ref) bytes, frame sampling, error flags)
+        # recomputed in SQL; the stubbed pixel/waveform statistics are
+        # RNG-backed and value-checked in pytest instead.
+        "media_features": f"""
+            WITH refs AS (
+              SELECT 'http://' || source || '.ex.com/img' || doc_id || '.jpg'
+                       AS media_ref
+              FROM documents WHERE doc_id < 64),
+            h AS (SELECT media_ref, sha256(media_ref) AS hx FROM refs)
+            SELECT media_ref, true AS ok,
+                   CAST(64 + {_hex_byte("hx", 0)} % 192 AS INT) AS width,
+                   CAST(64 + {_hex_byte("hx", 1)} % 192 AS INT) AS height,
+                   8 AS feat_dim
+            FROM h
+        """,
+        "audio_features": f"""
+            WITH refs AS (
+              SELECT 'http://' || source || '.ex.com/a' || doc_id || '.wav'
+                       AS media_ref
+              FROM documents WHERE doc_id < 48),
+            h AS (SELECT media_ref, sha256(media_ref) AS hx FROM refs),
+            m AS (SELECT media_ref,
+                         8000 + {_hex_byte("hx", 2)} * 16 AS sr,
+                         1000 + {_hex_byte("hx", 3)} * 20 AS dur
+                  FROM h)
+            SELECT media_ref, true AS ok,
+                   CAST(least(floor(sr * dur / 1000.0), 262144) AS INT) AS n_samples
+            FROM m
+        """,
+        "video_frames": f"""
+            WITH refs AS (
+              SELECT 'http://' || source || '.ex.com/v' || doc_id || '.mp4'
+                       AS media_ref
+              FROM documents WHERE doc_id < 16),
+            h AS (SELECT media_ref, sha256(media_ref) AS hx FROM refs),
+            m AS (SELECT media_ref,
+                         64 + {_hex_byte("hx", 0)} % 192 AS w,
+                         64 + {_hex_byte("hx", 1)} % 192 AS hgt,
+                         1000 + {_hex_byte("hx", 3)} * 20 AS dur
+                  FROM h)
+            SELECT m.media_ref || '#t=' || t AS media_ref, true AS ok,
+                   CAST(w AS INT) AS width, CAST(hgt AS INT) AS height,
+                   8 AS feat_dim
+            FROM m, unnest(generate_series(0, dur, 1000)) AS u(t)
         """,
         "resize_plan": """
             WITH m AS (

@@ -72,6 +72,24 @@ def train_centroids(emb_pdf_vecs: np.ndarray, n_centroids: int, iters: int = 10,
     return cent
 
 
+def assign_cells(vecs: np.ndarray, cent: np.ndarray, n_probe: int):
+    """(cell, probe_cells) per row with batch-size-independent float
+    math: each centroid similarity is an elementwise product + per-row
+    pairwise sum (never a matmul, whose blocking varies with the batch
+    shape), so the same vector scores bitwise-identically whether it
+    arrives in a 10-row or a 10,000-row Arrow batch. That property lets
+    a driver-side fixture precompute the exact assignment the executor
+    UDF will produce — the anchor of the ann_ivf DuckDB oracle. Probe
+    ties break by centroid id (stable argsort)."""
+    m = vecs.astype(np.float64)
+    m = m / (np.sqrt((m * m).sum(axis=1, keepdims=True)) + 1e-12)
+    sims = np.empty((len(m), len(cent)), dtype=np.float64)
+    for j in range(len(cent)):
+        sims[:, j] = (m * cent[j][None, :]).sum(axis=1)
+    order = np.argsort(-sims, axis=1, kind="stable")
+    return order[:, 0].astype(np.int32), order[:, :n_probe].astype(np.int32)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -83,34 +101,35 @@ def ivf_topk(
     query_id_col: str = "query_id",
     sample_size: int = 10_000,
     seed: int = 3,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: bucket-by-centroid, probe n_probe buckets per query.
 
     Centroids train on a bounded driver sample (at 100 TB you train on a
-    sample regardless); assignment is one numpy matmul per Arrow batch;
-    the probe join is an equi-join on centroid id — no cross join of the
+    sample regardless) unless passed in precomputed; assignment is a
+    numpy reduction per Arrow batch (see :func:`assign_cells`); the
+    probe join is an equi-join on centroid id — no cross join of the
     full corpus.
     """
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(sample_size).collect()]
-    ).astype(np.float32)
-    cent = train_centroids(sample, n_centroids, seed=seed).astype(np.float32)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col).limit(sample_size).collect()]
+        ).astype(np.float64)
+        cent = train_centroids(sample, n_centroids, seed=seed).astype(np.float64)
 
     from pyspark.sql.types import ArrayType, IntegerType
 
     @F.pandas_udf(IntegerType())
     def assign1(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float32)
-        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
-        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+        cells, _ = assign_cells(np.stack(vecs.to_numpy()), cent, n_probe)
+        return pd.Series(cells)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def assign_probe(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float32)
-        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
-        sims = m @ cent.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(top))
+        _, probes = assign_cells(np.stack(vecs.to_numpy()), cent, n_probe)
+        return pd.Series(list(probes))
 
     c = emb.select(
         F.col(id_col),
