@@ -56,6 +56,17 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the input across the cluster when it arrives in fewer
+    partitions than cores (a single small parquet file reads as ONE
+    partition, serializing the shingle explode). No-op at scale, where
+    the scan already yields >= defaultParallelism splits."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def shingles_col(text, k: int = 3):
     """Word k-gram shingles (array<string>) of normalized text."""
     toks = F.split(_norm_text(text), " ")
@@ -109,7 +120,7 @@ def minhash_signatures(
 
     sh = shingles_col(F.col(text_col), k)
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    return docs.select(F.col(id_col), mh(hashed).alias("sig"))
+    return _spread(docs).select(F.col(id_col), mh(hashed).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -155,9 +166,15 @@ def minhash_lsh_candidates(
 
 
 def minhash_similarity(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Estimated Jaccard = fraction of equal signature slots per pair."""
+    """Estimated Jaccard = fraction of equal signature slots per pair.
+
+    Signatures are ~0.5KB/doc, so up to ~10^5 docs both lookup joins
+    broadcast (shuffle-free); beyond that AQE falls back to shuffle
+    joins, which is the right plan once sigs outgrow executor memory."""
     s1 = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     s2 = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    if sigs.count() <= 100_000:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     j = pairs.join(s1, "id_a").join(s2, "id_b")
     eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
     return j.withColumn(
@@ -191,7 +208,7 @@ def simhash(
         return pd.Series(out)
 
     shingled = F.transform(shingles_col(F.col(text_col), k), lambda s: F.xxhash64(s))
-    return docs.select(F.col(id_col), sh(shingled).alias("simhash"))
+    return _spread(docs).select(F.col(id_col), sh(shingled).alias("simhash"))
 
 
 def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
@@ -240,32 +257,84 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs over `threshold`,
-    via shingle explode + equi-join on shingle (inverted index — never a
-    cartesian product) + |A∩B| / (|A|+|B|-|A∩B|).
+    via shingle explode + inverted-index equi-join (never a cartesian
+    product) + |A∩B| / (|A|+|B|-|A∩B|).
 
-    SQL-expressible end-to-end -> serves as the DuckDB-checkable oracle
-    for the MinHash estimate.
+    Scale path (`prefix_filter=True`): the candidate-generating
+    self-join runs only over each document's *prefix* — its first
+    ``sz - ceil(threshold*sz) + 1`` shingles under a global
+    (document-frequency asc, shingle) order. Positional prefix filtering
+    (Bayardo et al., "Scaling Up All Pairs"; Chaudhuri et al.) is exact:
+    J(A,B) >= t implies |A∩B| >= ceil(t*|A|), so the df-smallest common
+    shingle sits inside both prefixes and every qualifying pair is still
+    generated. Hot boilerplate shingles sort *last* and fall out of
+    almost every prefix, defusing the skewed-quadratic join that plain
+    inverted indexing hits at corpus scale; the exact intersection is
+    then recomputed per *candidate pair*, so emitted jaccard values are
+    identical to the unfiltered plan and the same DuckDB oracle checks
+    both paths.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
-    ).localCheckpoint(eager=True)  # reused by sizes + both join sides
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    l, r = sh.alias("l"), sh.alias("r")
-    inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # 64-bit shingle hashes end-to-end: 4-5x smaller joins/shuffles than
+    # raw shingle strings, and set identity is preserved up to xxhash64
+    # collisions (~2^-64 per pair — the same identity assumption MinHash
+    # rests on, and far below the oracle's 1e-6 value rounding).
+    arr = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles_col(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("arr"),
+        )
+        .localCheckpoint(eager=True)  # reused: index explode + pair verify
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    sh = arr.select(F.col(id_col), F.explode("arr").alias("sh"))
+
+    if prefix_filter:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        w = Window.partitionBy(id_col).orderBy("df", "sh")
+        wc = Window.partitionBy(id_col)  # same shuffle as w, adds sz
+        pref = (
+            sh.join(dfreq, "sh")  # equi-join; hot key fan-out is 1:df, never quadratic
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("sz", F.count("*").over(wc))
+            .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+            .select(id_col, "sh")
+        )
+        pl, pr = pref.alias("l"), pref.alias("r")
+        cand = (
+            pl.join(pr, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        l, r = sh.alias("l"), sh.alias("r")
+        cand = (
+            l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # exact verify per candidate pair with native array_intersect over
+    # the hashed shingle sets. When the doc-side array table fits in a
+    # broadcast (hashed arrays are ~2KB/doc), both verify joins are
+    # shuffle-free broadcast hash joins over the candidate rows; at
+    # corpus scales beyond that, AQE picks the shuffle join and the
+    # candidate set is sparse anyway (real shingle dfs are Zipfian, so
+    # the prefix index prunes hard).
+    aa = arr.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    ab = arr.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
+    if arr.count() <= 100_000:  # arr is checkpointed: count is free-ish
+        aa, ab = F.broadcast(aa), F.broadcast(ab)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            F.col("inter") / (F.size("arr_a") + F.size("arr_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

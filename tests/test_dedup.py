@@ -80,6 +80,32 @@ def test_ngram_jaccard_matches_python_oracle(spark):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Positional prefix filtering must emit the exact same pair set and
+    jaccard values as the unfiltered inverted-index plan — including on
+    a corpus where one hot boilerplate shingle appears in every doc."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        base = "hot boiler plate " + " ".join(rng.choice(WORDS, size=12))
+        rows.append((f"d{i:03d}", base))
+        if i % 5 == 0:  # near dup sharing most shingles
+            toks = base.split()
+            toks[-1] = "zzz"
+            rows.append((f"d{i:03d}n", " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, prefix_filter=False).collect()
+    }
+    assert fast == full
+    assert full  # the corpus must actually produce qualifying pairs
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     docs, rows = _mk_docs(spark)
     sigs = dedup.minhash_signatures(docs, num_hashes=64)
