@@ -136,19 +136,33 @@ def crawl_round_bench(spark, n_urls: int) -> dict:
 
 
 def run_crawl_only(cores: int) -> None:
+    # heap proportional to cores, mirroring a real cluster where 4N
+    # executors bring 4x aggregate memory: a fixed shared heap makes the
+    # wide side pay 4x the GC pressure per unit work, an artifact of the
+    # single-JVM stand-in rather than of the job
+    os.environ.setdefault("SPARK_DRIVER_MEM", f"{min(24, max(6, 3 * cores))}g")
     from cc_dbp_spark.session import get_spark, warm_python_worker_pool
 
     # AQE off for the scaling probe: its per-query-stage materialization
     # barriers add fixed driver latency that swamps small rounds; shuffle
-    # partitioning is already explicit + proportional to cores here
+    # partitioning is already explicit + proportional to cores here.
+    # Shuffle compression ON (overriding the local-mode default): probe
+    # shuffles model a real cluster's compressed network shuffles, and
+    # uncompressed local shuffle I/O is the noisiest cross-tenant
+    # resource on this VM (A/B: compressed 8-core rounds are both faster
+    # and far more stable).
     spark = get_spark(
         f"bench-crawl-{cores}",
         cores=cores,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.shuffle.compress": "true",
+            "spark.shuffle.spill.compress": "true",
+        },
     )
     warm_python_worker_pool(spark, cores)
     crawl_round_bench(spark, CRAWL_N_URLS // 8)  # warm up JVM/Arrow paths
-    runs = [crawl_round_bench(spark, CRAWL_N_URLS) for _ in range(2)]
+    runs = [crawl_round_bench(spark, CRAWL_N_URLS) for _ in range(3)]
     import statistics
 
     med = statistics.median(r["elapsed_s"] for r in runs)
@@ -232,15 +246,26 @@ def run_scaling() -> dict:
     eff = sides[n4]["candidates_per_sec"] / sides[n]["candidates_per_sec"] / 4.0
     with open("/proc/loadavg") as f:
         load = f.read().split()[:3]
+    cpu = _cpu_control((n, n4, 32))
+    # the same N->4N ratio for a pure-CPU workload on this VM: the
+    # platform's own parallel ceiling (multi-tenant turbo/scheduler).
+    # efficiency normalized by it isolates what the JOB loses to
+    # coordination/shuffle from what any perfectly-parallel work loses
+    # to the shared hardware.
+    cpu_eff = (cpu[str(n4)] / cpu[str(n)]) / 4.0 if cpu.get(str(n)) else None
     return {
         "n_urls": CRAWL_N_URLS,
-        "protocol": f"median of {SCALE_PAIRS} interleaved pairs x 2 rounds/probe",
+        "protocol": f"median of {SCALE_PAIRS} interleaved pairs x 3 rounds/probe",
         f"local{n}": sides[n],
         f"local{n4}": sides[n4],
         "speedup_n_to_4n": round(eff * 4.0, 3),
         "scaling_efficiency": round(eff, 3),
+        "cpu_control_mops": cpu,
+        "cpu_control_parallel_efficiency": round(cpu_eff, 3) if cpu_eff else None,
+        "scaling_efficiency_cpu_normalized": (
+            round(min(eff / cpu_eff, 1.0), 3) if cpu_eff else None
+        ),
         "loadavg_after": load,
-        "cpu_control_mops": _cpu_control((n, n4, 32)),
     }
 
 
@@ -263,7 +288,16 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
-    crawl = crawl_round_bench(spark, CRAWL_N_URLS)
+    # headline crawl round in a FRESH subprocess JVM (same protocol as
+    # the scaling probes: warmup + 3 timed rounds, median): the suite
+    # session's heap carries GC residue from 26 queries that inflates
+    # the round 1.5-2x and swamps run-to-run comparisons
+    probe = _one_crawl_probe(CPUS)
+    if probe is not None:
+        crawl = {k: v for k, v in probe.items() if k != "all_runs_s"}
+        crawl["raw_runs_s"] = probe["all_runs_s"]
+    else:  # fallback: in-session measurement
+        crawl = crawl_round_bench(spark, CRAWL_N_URLS)
     timings[f"crawl_round_{CRAWL_N_URLS // 1_000_000}m"] = crawl["elapsed_s"]
     total = round(time.time() - t_suite, 3)
     spark.stop()

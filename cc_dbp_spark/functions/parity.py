@@ -199,6 +199,42 @@ def sample_from_cdf(draws: np.ndarray, cdf: list[float]) -> np.ndarray:
     return np.searchsorted(np.asarray(cdf, dtype=np.float64), draws, side="right")
 
 
+def pseudo_random_from_string_col(c):
+    """Native-Column twin of :func:`pseudo_random_from_string` (D1) —
+    bit-exact ``new java.util.Random(sha1_head_long(s)).nextDouble()``
+    with zero Python in the plan, so hot paths (the frontier tie-break
+    over 10^10 urls/round) skip the Arrow round-trip entirely.
+
+    Stays inside ANSI-safe 64-bit arithmetic: the LCG state is < 2^48,
+    the 48-bit multiply splits into 24-bit halves (products <= 2^59),
+    and the seed's low 48 bits come straight from sha1 hex chars 5..16
+    (the scramble XOR masks the top 16 bits away, so the signed head
+    long's high bits never matter). The mantissa sum hi*2^27 + lo is
+    < 2^53, so the final double scale by 2^-53 is exact — identical
+    rounding to the JDK. Golden-tested against tools/golden_vectors.tsv
+    and differentially against the numpy twin.
+    """
+    from pyspark.sql import functions as F
+
+    mask24 = 1 << 24
+    a_low24 = int(_MULT) % mask24
+
+    def step(s):
+        lo24 = s % F.lit(mask24)
+        hi24 = F.shiftright(s, 24)
+        prod_low = lo24 * F.lit(int(_MULT))
+        term_h = F.pmod(hi24 * F.lit(a_low24), F.lit(mask24)) * F.lit(mask24)
+        return F.pmod(prod_low + term_h + F.lit(int(_ADD)), F.lit(1 << 48))
+
+    low48 = F.conv(F.substring(F.sha1(c), 5, 12), 16, 10).cast("long")
+    s0 = low48.bitwiseXOR(F.lit(int(_MULT)))
+    s1 = step(s0)
+    s2 = step(s1)
+    hi = F.shiftright(s1, 22)  # next(26)
+    lo = F.shiftright(s2, 21)  # next(27)
+    return ((hi * F.lit(1 << 27) + lo).cast("double") * F.lit(1.0 / _TWO53))
+
+
 # --- Spark-facing pandas UDF factories (registered lazily to avoid
 #     importing pyspark at module import time in pure-python tests) ---
 

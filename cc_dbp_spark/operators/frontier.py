@@ -49,7 +49,7 @@ import pathlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
@@ -354,6 +354,49 @@ def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, Data
     return allowed, denied_counts
 
 
+def _raw_host_col(url: Column) -> Column:
+    """Cheap native host approximation straight off the RAW url (no
+    canonicalization): lowercased authority, port stripped. Used ONLY
+    for hot-host detection, where miscounting a malformed url merely
+    shifts a schedule-invariant split factor — so the detection scan
+    never pays the canonicalizer."""
+    u = F.substring_index(F.trim(url), "#", 1)
+    after = F.substring_index(u, "://", -1)  # full string when no scheme
+    hp = F.substring_index(F.substring_index(after, "/", 1), "?", 1)
+    return F.lower(F.substring_index(hp, ":", 1))
+
+
+def _budgets_from_state(
+    credit: DataFrame, robots: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Per-host (credit0, delay, k) over the credit ∪ robots host set —
+    the only hosts whose budget differs from the defaults. Hosts absent
+    here use ``k = floor(round_budget/default_delay)`` via coalesce at
+    the join site, so the frontier never needs a budget-derivation scan:
+    budgets are a pure function of the (small) politeness state tables,
+    not of the 10^10-row candidate set."""
+    hosts = credit.select("host").unionByName(
+        robots.select("host")
+    ).distinct()
+    return (
+        hosts.join(credit, "host", "left")
+        .join(robots.select("host", "crawl_delay_s"), "host", "left")
+        .select(
+            "host",
+            (F.coalesce(F.col("credit"), F.lit(0.0)) + F.lit(cfg.round_budget_s)).alias(
+                "credit0"
+            ),
+            F.when(
+                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
+                F.lit(cfg.default_crawl_delay_s),
+            )
+            .otherwise(F.col("crawl_delay_s"))
+            .alias("delay"),
+        )
+        .withColumn("k", F.floor(F.col("credit0") / F.col("delay")).cast("int"))
+    )
+
+
 def _host_budgets_from_stats(
     host_stats: DataFrame, credit: DataFrame, robots: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
@@ -564,18 +607,40 @@ def _fused_schedule(
     else:
         all_rows = cand_rows
 
-    # lazy checkpoints throughout the round: each eager barrier serializes
-    # the driver; lazy ones materialize inside the first consuming job, so
-    # a round runs as one collect (hot hosts) plus one cascading job.
-    # all_rows itself checkpoints too: the hot-host collect below is the
-    # first consumer, and without the checkpoint the second job (schedule)
-    # would recompute the whole canonicalize + seen-prune chain over the
-    # full frontier a second time.
-    all_rows = all_rows.localCheckpoint(eager=False)
-    pre = all_rows.groupBy("host").agg(F.count("*").alias("n_raw")).localCheckpoint(eager=False)
-    budgets = _host_budgets_from_stats(pre, credit, robots, cfg)
+    # The frontier is scanned exactly ONCE per round (the main schedule
+    # job): budgets derive from the politeness state tables alone
+    # (:func:`_budgets_from_state` — defaults coalesce in at the join),
+    # and hot-host detection is a cheap count over raw-url hosts below.
+    # The previous design cached the canonicalized candidate set
+    # (localCheckpoint) to share it between a budget/hot-stats pass and
+    # the schedule job — at 10^10 urls that cache write is petabytes of
+    # memory traffic per round, and it was the measured non-scaling
+    # component of the whole round (cache build + GC does not speed up
+    # with cores the way the CPU-bound canonicalize/rank pipeline does).
+    budgets = _budgets_from_state(credit, robots, cfg)
+    default_k = int(cfg.round_budget_s // cfg.default_crawl_delay_s)
+    default_delay = float(cfg.default_crawl_delay_s)
+
+    # hot-host detection: raw-host counts over a deterministic 1-in-8
+    # url-hash sample of candidates + carried frontier. Counts feed ONLY
+    # num_splits (schedule-invariant partition balancing — the top-k is
+    # bit-identical whatever the split factor), so both approximations
+    # (skip the canonicalizer, estimate from a sample) are free; the
+    # hash sample is partition-layout-independent, so the estimate is
+    # stable across runs and cluster sizes.
+    _S = 8
+    hot_src = (
+        candidates.select("url")
+        .unionByName(frontier.select("url"))
+        if frontier_nonempty
+        else candidates.select("url")
+    )
     hot_rows = (
-        pre.filter(F.col("n_raw") > cfg.hot_host_threshold)
+        hot_src.filter(F.pmod(F.xxhash64("url"), F.lit(_S)) == 0)
+        .select(_raw_host_col(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg((F.count("*") * _S).alias("n_raw"))
+        .filter(F.col("n_raw") > cfg.hot_host_threshold)
         .select(
             "host",
             F.ceil(F.col("n_raw") / F.lit(cfg.hot_host_cap)).cast("int").alias("num_splits"),
@@ -587,9 +652,20 @@ def _fused_schedule(
         src = all_rows.join(F.broadcast(hot_df), "host", "left")
     else:
         src = all_rows.withColumn("num_splits", F.lit(None).cast("int"))
-    src = src.withColumn("ts", _tie_salt_udf()(F.col("url"), F.col("num_splits"))).select(
+    # tie: native bit-exact D1 draw (no Arrow round-trip on the hot
+    # path). salt: schedule-invariant partition balancing — any
+    # deterministic url->[0,num_splits) map yields the identical
+    # schedule (test_salted_topk_equals_plain), so the native xxhash64
+    # bucket replaces the JDK group-salt draw here; the parity draw
+    # remains available as parity.group_salt for D5 consumers.
+    src = src.select(
         "url", "host", "depth", "lc_contrib", "round_added",
-        F.col("ts.tie").alias("tie"), F.col("ts.salt").alias("salt"),
+        parity.pseudo_random_from_string_col(F.col("url")).alias("tie"),
+        F.when(
+            F.col("num_splits").isNull(), F.lit(0)
+        ).otherwise(
+            F.pmod(F.xxhash64("url"), F.col("num_splits")).cast("int")
+        ).alias("salt"),
     )
     src = _with_denied(src, robots)
 
@@ -617,6 +693,8 @@ def _fused_schedule(
     flagged = (
         dedup.withColumn("priority", priority_col("depth", "link_count"))
         .join(F.broadcast(budgets.select("host", "k", "delay")), "host", "left")
+        .withColumn("k", F.coalesce(F.col("k"), F.lit(default_k)))
+        .withColumn("delay", F.coalesce(F.col("delay"), F.lit(default_delay)))
         .withColumn("r1", F.row_number().over(w1))
         .localCheckpoint(eager=False)
     )
@@ -781,13 +859,20 @@ def run_round(
                 prev if prev is not None else flt.empty_bloom_df(spark), newly, spec
             )
 
+    # credit accrues for the ACTIVE host set (hosts with candidates this
+    # round, = host_stats' host set); budgets only carries the hosts with
+    # non-default state, so defaults coalesce in here exactly as they do
+    # at the schedule join.
     new_credit_active = (
-        budgets.join(sched_per_host.select("host", "scheduled"), "host", "left")
+        host_stats.select("host")
+        .join(F.broadcast(budgets.select("host", "credit0", "delay")), "host", "left")
+        .join(sched_per_host.select("host", "scheduled"), "host", "left")
         .select(
             "host",
             (
-                F.col("credit")
-                - F.coalesce(F.col("scheduled"), F.lit(0)) * F.col("delay")
+                F.coalesce(F.col("credit0"), F.lit(float(cfg.round_budget_s)))
+                - F.coalesce(F.col("scheduled"), F.lit(0))
+                * F.coalesce(F.col("delay"), F.lit(float(cfg.default_crawl_delay_s)))
             ).alias("credit"),
         )
     )
