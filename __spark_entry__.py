@@ -332,6 +332,39 @@ def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["schedule"].select("round", "position", "url", "host", "depth")
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 WARC record reader end-to-end: documents grouped 16-per-file
+    into deterministic fixture WARC bytes (warcinfo + request + response
+    records), then exploded back through the pure-Python parser inside
+    mapInPandas. The oracle recomputes the expected response-record
+    table straight from the documents view, so the build->bytes->parse
+    round trip (incl. the WARC-Type: response filter and HTTP header
+    split, SaveCommonCrawlBase.java:127-148) is value-checked."""
+    from cc_dbp_spark.sources import warc
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    d = d.withColumn("file_id", (F.col("doc_id") / 16).cast("int"))
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        docs = [
+            (f"http://{s}.ex.com/doc{i}", t)
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+        ]
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            [{"src": f"warc-{key[0]}", "payload": warc.synth_warc(docs)}]
+        )
+
+    files = d.groupBy("file_id").applyInPandas(build, "src string, payload binary")
+    recs = warc.warc_records(files)
+    return recs.select(
+        "src", "record_ndx", "url", "http_status", "content_type",
+        "body_len", "truncated",
+    )
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt text -> per-host rules table (the politeness join
     input). Deterministic bodies synthesized per host; semantics are
@@ -698,9 +731,13 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     page = F.concat(
         F.lit("<html><head><title>"), F.col("source"), F.lit(" "),
-        F.col("doc_id").cast("string"), F.lit("</title></head><body><p>"),
-        F.col("text"), F.lit("</p><a href=\"http://"), F.col("source"),
-        F.lit(".ex.com/p/"), F.col("doc_id").cast("string"),
+        F.col("doc_id").cast("string"), F.lit("</title></head><body><h2>Sec "),
+        F.col("doc_id").cast("string"), F.lit("</h2><p>"),
+        F.col("text"),
+        F.lit('</p><p>alpha <b>beta gamma</b> delta '
+              '<a href="http://x.ex.com/in">inline link</a> omega</p>'
+              '<p>tiny one</p><a href="http://'),
+        F.col("source"), F.lit(".ex.com/p/"), F.col("doc_id").cast("string"),
         F.lit("\">more</a></body></html>"),
     )
     pages = d.select(
@@ -736,11 +773,27 @@ def q_relex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 round-robin mention-set chunking + M14 base64 line encoding
-    (round-trip pytest-checked; rows-only here)."""
+    """F6 round-robin mention-set chunking + M14 REAL tensor encoding:
+    vocab-indexed token row, two position-embedding rows keyed to the
+    ARGONE/ARGTWO spans, pool pieces and sentence starts per chunk
+    (RelexTensors.java:112-190 semantics). The driver compares the
+    decoded tensor arrays; the serialized b64 line is a deterministic
+    function of them (round-trip pytest in test_vocab_tensors)."""
     lab = _mention_pipeline(spark, sf_dir)
     groups = mentions.mention_groups(lab, min_mention_set=2)
-    return mentions.encode_tensor_lines(mentions.tensor_chunks(groups, max_mention_set=5))
+    chunks = mentions.tensor_chunks(groups, max_mention_set=5)
+    wc = q_word_counts(spark, sf_dir)
+    # T3-style bounded sorted vocab: post-min-count vocab is collect-safe
+    # by construction (the same bound the reference's RelexVocab relies
+    # on), so a global rank window here is a bounded sort, not a
+    # frontier-scale one
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    vocab = wc.select("word", (F.row_number().over(wv) - 1).alias("widx"))
+    t = mentions.encode_tensor_instances(chunks, vocab, max_pos=64)
+    return t.select(
+        "id1", "id2", "chunk", "positive", "words", "pos1", "pos2",
+        "pool_starts", "pool_ends", "sent_starts",
+    )
 
 
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_multiround": q_crawl_multiround,
         "outlinks": q_outlinks,
         "robots_parse": q_robots_parse,
+        "warc_parse": q_warc_parse,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "emb_near_dups": q_emb_near_dups,
@@ -1293,6 +1347,24 @@ def oracle_sql() -> dict[str, str]:
         # expected robots.txt parse result for the deterministic bodies
         # q_robots_parse synthesizes (ccdbp group beats '*', so deny/allow
         # come from the specific group and crawl_delay is 0.5)
+        # WARC oracle: expected response-record table recomputed from
+        # the documents view (the Spark side must build the WARC bytes
+        # and parse them back to reach the same rows).
+        "warc_parse": """
+            WITH g AS (
+              SELECT doc_id, source, text,
+                     CAST(doc_id // 16 AS INT) AS file_id
+              FROM documents)
+            SELECT 'warc-' || file_id AS src,
+                   CAST(row_number() OVER (
+                     PARTITION BY file_id ORDER BY doc_id) - 1 AS INT) AS record_ndx,
+                   'http://' || source || '.ex.com/doc' || doc_id AS url,
+                   200 AS http_status,
+                   'text/html; charset=utf-8' AS content_type,
+                   CAST(octet_length(encode(text)) AS INT) AS body_len,
+                   false AS truncated
+            FROM g
+        """,
         "robots_parse": """
             SELECT source || '.ex.com' AS host,
                    '/deny-' || source || '/' AS deny,
@@ -1360,26 +1432,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT arg1, rel, arg2 FROM ex
         """,
+        # fixture page: title + header + doc-text paragraph (subject to
+        # the min-5-words block filter) + a constant paragraph carrying
+        # nested <b> and an inline <a> + a dropped 2-word paragraph + a
+        # standalone link. Offsets/indices recomputed analytically.
         "html_extract": """
             WITH base AS (
               SELECT 'http://' || source || '/' || doc_id AS doc_id,
                      source || ' ' || doc_id AS title,
+                     'Sec ' || doc_id AS header,
                      text,
+                     len(string_split_regex(trim(text), '\\s+')) >= 5 AS kept,
                      'http://' || source || '.ex.com/p/' || doc_id AS href
               FROM documents
+            ),
+            o AS (
+              SELECT *,
+                     CAST(length(title) + 2 AS INT) AS off1,
+                     CAST(length(title) + 2 + length(header) + 1 AS INT) AS off2
+              FROM base
+            ),
+            o2 AS (
+              SELECT *, CAST(off2 + CASE WHEN kept
+                       THEN length(text) + 1 ELSE 0 END AS INT) AS off3
+              FROM o
             )
             SELECT doc_id, 'utf-8' AS charset, 0 AS span_idx,
                    'title' AS kind, title AS text,
                    NULL AS media_ref, 0 AS offset
-            FROM base
+            FROM o2
             UNION ALL
-            SELECT doc_id, 'utf-8', 1, 'paragraph', text, NULL,
-                   CAST(length(title) + 2 AS INT)
-            FROM base
+            SELECT doc_id, 'utf-8', 1, 'section_header', header, NULL, off1 FROM o2
             UNION ALL
-            SELECT doc_id, 'utf-8', 2, 'link', 'more', href,
-                   CAST(length(title) + 2 + length(text) + 1 AS INT)
-            FROM base
+            SELECT doc_id, 'utf-8', 2, 'paragraph', text, NULL, off2
+            FROM o2 WHERE kept
+            UNION ALL
+            SELECT doc_id, 'utf-8', CASE WHEN kept THEN 3 ELSE 2 END, 'paragraph',
+                   'alpha beta gamma delta inline link omega', NULL, off3 FROM o2
+            UNION ALL
+            SELECT doc_id, 'utf-8', CASE WHEN kept THEN 4 ELSE 3 END,
+                   'text_formatting', 'beta gamma', NULL, CAST(off3 + 6 AS INT) FROM o2
+            UNION ALL
+            SELECT doc_id, 'utf-8', CASE WHEN kept THEN 5 ELSE 4 END, 'link',
+                   'inline link', 'http://x.ex.com/in', CAST(off3 + 23 AS INT) FROM o2
+            UNION ALL
+            SELECT doc_id, 'utf-8', CASE WHEN kept THEN 6 ELSE 5 END, 'link',
+                   'more', href, CAST(off3 + 41 AS INT) FROM o2
         """,
         "vocab_autotune": """
             WITH w AS (
@@ -1423,6 +1521,100 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id1, id2, set_size, positive FROM grouped
             WHERE set_size >= 2
+        """,
+        # M14 tensor oracle: the full groups -> round-robin chunks ->
+        # vocab-indexed word row + ARGONE/ARGTWO position rows + pool
+        # pieces + sentence starts, recomputed in SQL from the same
+        # documents view (vocab = min-count-5 word counts ranked
+        # (cnt desc, word asc), exactly the Spark side's spec).
+        "tensor_lines": _MENTION_CTE + """
+            , dedupt AS (
+              SELECT DISTINCT id1, id2, s1, e1, s2, e2, text, rewritten, is_positive
+              FROM labeled
+            ),
+            stats AS (
+              SELECT id1, id2, count(*) AS n FROM labeled GROUP BY 1, 2
+            ),
+            grp AS (
+              SELECT d.id1, d.id2,
+                     bool_or(d.is_positive) AS positive,
+                     list(d.rewritten ORDER BY d.rewritten) AS contexts
+              FROM dedupt d JOIN stats s ON s.id1 = d.id1 AND s.id2 = d.id2
+              WHERE s.n >= 2
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            cdef AS (
+              SELECT *, CAST(ceil(len(contexts) / 5.0) AS INT) AS n_chunks
+              FROM grp
+            ),
+            chunks AS (
+              SELECT id1, id2, positive, CAST(ch AS INT) AS chunk,
+                     list_transform(
+                       list_filter(range(0, len(contexts)), i -> i % n_chunks = ch),
+                       i -> contexts[i + 1]) AS members
+              FROM cdef, unnest(range(0, n_chunks)) AS u(ch)
+            ),
+            sents AS (
+              SELECT id1, id2, positive, chunk, CAST(i AS INT) AS sent_ndx,
+                     regexp_split_to_array(trim(members[i + 1]), '\\s+') AS toks
+              FROM chunks, unnest(range(0, len(members))) AS u(i)
+              WHERE len(members) > 0
+            ),
+            keep AS (
+              SELECT *, list_position(toks, 'ARGONE') - 1 AS a1,
+                        list_position(toks, 'ARGTWO') - 1 AS a2,
+                        len(toks) AS n
+              FROM sents
+              WHERE list_position(toks, 'ARGONE') IS NOT NULL
+                AND list_position(toks, 'ARGTWO') IS NOT NULL
+            ),
+            vocab AS (
+              SELECT word,
+                     CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) - 1
+                          AS INT) AS vndx
+              FROM (
+                SELECT w AS word, count(*) AS cnt FROM (
+                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                  FROM documents) t
+                WHERE w <> '' GROUP BY 1 HAVING count(*) >= 5)
+            ),
+            tokrows AS (
+              SELECT k.id1, k.id2, k.chunk, k.sent_ndx, k.positive,
+                     CAST(i AS INT) AS wi, lower(k.toks[i + 1]) AS w,
+                     k.a1, k.a2, k.n
+              FROM keep k, unnest(range(0, len(k.toks))) AS u(i)
+            ),
+            wmap AS (
+              SELECT t.*, CAST(COALESCE(v.vndx, -1) AS INT) AS wndx
+              FROM tokrows t LEFT JOIN vocab v ON v.word = t.w
+            ),
+            persent AS (
+              SELECT id1, id2, chunk, sent_ndx,
+                     any_value(positive) AS positive,
+                     list(wndx ORDER BY wi) AS words,
+                     list(CAST(greatest(0, 32 - abs(wi - a1)) AS INT) ORDER BY wi) AS pos1,
+                     list(CAST(greatest(0, 32 - abs(wi - a2)) AS INT) ORDER BY wi) AS pos2,
+                     CAST(any_value(greatest(1, least(a1, a2))) AS INT) AS pool_start,
+                     CAST(any_value(least(n - 1, greatest(a1, a2) + 1)) AS INT) AS pool_end,
+                     CAST(any_value(n) AS INT) AS sz
+              FROM wmap GROUP BY 1, 2, 3, 4
+            ),
+            perchunk AS (
+              SELECT id1, id2, chunk, any_value(positive) AS positive,
+                     flatten(list(words ORDER BY sent_ndx)) AS words,
+                     flatten(list(pos1 ORDER BY sent_ndx)) AS pos1,
+                     flatten(list(pos2 ORDER BY sent_ndx)) AS pos2,
+                     list(pool_start ORDER BY sent_ndx) AS pool_starts,
+                     list(pool_end ORDER BY sent_ndx) AS pool_ends,
+                     list(sz ORDER BY sent_ndx) AS sizes
+              FROM persent GROUP BY 1, 2, 3
+            )
+            SELECT id1, id2, chunk, positive, words, pos1, pos2,
+                   pool_starts, pool_ends,
+                   list_transform(range(0, len(sizes)),
+                     i -> CAST(COALESCE(list_sum(sizes[1:i]), 0) AS INT)) AS sent_starts
+            FROM perchunk
         """,
         "outlinks": "WITH links AS ("
         "  SELECT row_number() OVER () AS rid, s.media_ref AS ref"

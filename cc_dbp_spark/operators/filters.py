@@ -329,15 +329,51 @@ class CuckooFilter:
             alt = i1.astype(np.uint64) ^ (fp.astype(np.uint64) * _MIX)
         return (alt % np.uint64(self.nbuckets)).astype(np.int64)
 
+    def _bulk_place(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized no-kick placement: item k of each bucket group goes
+        to that bucket's k-th empty slot (the sequential first-empty
+        semantics, batched). Returns the boolean placed-mask."""
+        n = len(buckets)
+        placed = np.zeros(n, dtype=bool)
+        if n == 0:
+            return placed
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        uniq, first, counts = np.unique(sb, return_index=True, return_counts=True)
+        # rank of each (sorted) item within its bucket group
+        rank = np.arange(n) - np.repeat(first, counts)
+        sub = self.table[uniq]  # (m, SLOTS)
+        empty = sub == 0
+        n_empty = empty.sum(axis=1)
+        # empty slot indices per bucket, ascending, padded at the end
+        slot_order = np.argsort(~empty, axis=1, kind="stable")
+        gi = np.repeat(np.arange(len(uniq)), counts)  # group index per sorted item
+        fits = rank < n_empty[gi]
+        rows = uniq[gi[fits]]
+        slots = slot_order[gi[fits], rank[fits]]
+        self.table[rows, slots] = fps[order][fits]
+        placed[order[fits]] = True
+        return placed
+
     def insert(self, hashes: np.ndarray) -> int:
-        """Insert; returns count of failed (table-full) insertions."""
+        """Insert; returns count of failed (table-full) insertions.
+
+        Common path is fully vectorized (bulk first-empty placement into
+        i1, then i2 for the remainder); only items whose both buckets
+        are full fall into the per-element cuckoo kick loop — at normal
+        load factors that is a vanishing fraction of a batch.
+        """
         h = np.asarray(hashes, dtype=np.int64)
         fps, i1s = self._fp(h), self._i1(h)
         i2s = self._i2(i1s, fps)
+        placed = self._bulk_place(i1s, fps)
+        rest = ~placed
+        if rest.any():
+            placed2 = np.zeros(len(h), dtype=bool)
+            placed2[rest] = self._bulk_place(i2s[rest], fps[rest])
+            rest &= ~placed2
         failed = 0
-        for fp, i1, i2 in zip(fps, i1s, i2s):
-            if self._try_put(i1, fp) or self._try_put(i2, fp):
-                continue
+        for fp, i1, i2 in zip(fps[rest], i1s[rest], i2s[rest]):
             # kick
             i = int(i1 if self.rng.integers(2) else i2)
             cur = np.uint16(fp)

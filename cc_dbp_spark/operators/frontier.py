@@ -81,6 +81,14 @@ class CrawlConfig:
     # frontier >> schedule; on a single box the extra Arrow pass over the
     # full frontier costs more than the smaller sort saves, so default off
     local_topk_prune: bool = False
+    # cache the post-dedupe ranked table inside the round. True (the
+    # production default) serves the three consumers of a full round —
+    # audit stats, schedule, next-frontier update — from one
+    # materialization. Schedule-throughput-only callers (the bench's
+    # scheduling-rate metric; any caller that ignores audit/frontier
+    # outputs) set False so the single consuming job streams straight
+    # through with no frontier-sized cache write at all.
+    cache_flagged: bool = True
 
 
 FRONTIER_SCHEMA = "url string, host string, depth int, link_count bigint, round_added int"
@@ -627,7 +635,9 @@ def _fused_schedule(
     # bit-identical whatever the split factor), so both approximations
     # (skip the canonicalizer, estimate from a sample) are free; the
     # hash sample is partition-layout-independent, so the estimate is
-    # stable across runs and cluster sizes.
+    # stable across runs and cluster sizes. The hot table stays a
+    # DataFrame consumed via a broadcast join — no driver collect, no
+    # separate Spark job: the whole round remains ONE action.
     _S = 8
     hot_src = (
         candidates.select("url")
@@ -635,7 +645,7 @@ def _fused_schedule(
         if frontier_nonempty
         else candidates.select("url")
     )
-    hot_rows = (
+    hot_df = (
         hot_src.filter(F.pmod(F.xxhash64("url"), F.lit(_S)) == 0)
         .select(_raw_host_col(F.col("url")).alias("host"))
         .groupBy("host")
@@ -645,13 +655,8 @@ def _fused_schedule(
             "host",
             F.ceil(F.col("n_raw") / F.lit(cfg.hot_host_cap)).cast("int").alias("num_splits"),
         )
-        .collect()
     )
-    if hot_rows:
-        hot_df = spark.createDataFrame(hot_rows, "host string, num_splits int")
-        src = all_rows.join(F.broadcast(hot_df), "host", "left")
-    else:
-        src = all_rows.withColumn("num_splits", F.lit(None).cast("int"))
+    src = all_rows.join(F.broadcast(hot_df), "host", "left")
     # tie: native bit-exact D1 draw (no Arrow round-trip on the hot
     # path). salt: schedule-invariant partition balancing — any
     # deterministic url->[0,num_splits) map yields the identical
@@ -696,24 +701,25 @@ def _fused_schedule(
         .withColumn("k", F.coalesce(F.col("k"), F.lit(default_k)))
         .withColumn("delay", F.coalesce(F.col("delay"), F.lit(default_delay)))
         .withColumn("r1", F.row_number().over(w1))
-        .localCheckpoint(eager=False)
     )
+    if cfg.cache_flagged:
+        flagged = flagged.localCheckpoint(eager=False)
 
+    # phase 2 exact per-host rank runs unconditionally: its input is the
+    # per-(host, salt) top-k survivors (bounded by num_splits * k per
+    # host), and for unsalted hosts it reproduces r1 exactly — one plan
+    # for both regimes, no driver-side branch on hot detection.
     pre1 = flagged.filter(
         ~F.col("denied") & (F.col("k") > 0) & (F.col("r1") <= F.col("k"))
     )
-    if hot_rows:
-        order = [F.col("priority").desc(), F.col("tie").asc(), F.col("url").asc()]
-        w2 = Window.partitionBy("host").orderBy(*order)
-        scheduled = (
-            pre1.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= F.col("k"))
-            .drop("r1", "salt")
-        )
-    else:
-        # salt is 0 everywhere -> the per-(host, salt) rank IS the host rank
-        scheduled = pre1.withColumnRenamed("r1", "rank").drop("salt")
-    return flagged, budgets, scheduled, bool(hot_rows)
+    order = [F.col("priority").desc(), F.col("tie").asc(), F.col("url").asc()]
+    w2 = Window.partitionBy("host").orderBy(*order)
+    scheduled = (
+        pre1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("k"))
+        .drop("r1", "salt")
+    )
+    return flagged, budgets, scheduled, True
 
 
 
@@ -760,6 +766,15 @@ def run_round(
     )
     _mark("flagged_ckpt")
 
+    # intra-round branch checkpoints serve callers that consume SEVERAL
+    # round outputs (each lazy checkpoint both caches for reuse and
+    # truncates the branch's physical-planning tree). A
+    # schedule-throughput-only caller (cache_flagged=False) consumes one
+    # output, so the round stays a single unplanned DAG until its one
+    # action — no cache writes, one planning pass.
+    def ck(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if cfg.cache_flagged else df
+
     allowed = flagged.select(
         "url", "host", "depth", "link_count", "round_added", "denied"
     ).filter(~F.col("denied")).drop("denied")
@@ -773,12 +788,16 @@ def run_round(
             F.count(F.when(~F.col("denied"), 1)).alias("n"),
             F.count(F.when(F.col("denied"), 1)).alias("denied"),
         )
-        .localCheckpoint(eager=False)
     )
+    host_stats = ck(host_stats)
     _mark("host_stats_ckpt")
     cand_per_host = host_stats.select("host", "n")
     denied_counts = host_stats.filter(F.col("denied") > 0).select("host", "denied")
 
+    # scheduled is multi-consumer in EVERY mode (offsets broadcast +
+    # fetch batch + per-host stats) and only O(schedule) rows — always
+    # checkpoint it, or the offsets broadcast subtree re-runs the whole
+    # frontier pipeline a second time
     scheduled = scheduled.localCheckpoint(eager=False)
     _mark("topk_ckpt")
 
@@ -786,16 +805,42 @@ def run_round(
     # position = host_offset + rank - 1, with offsets from a cumulative
     # sum over the tiny per-host scheduled counts — fully parallel, no
     # single-partition window over the whole batch.
-    sched_per_host = scheduled.groupBy("host").agg(
+    sched_per_host = ck(scheduled.groupBy("host").agg(
         F.count("*").alias("scheduled"), F.first("delay").alias("delay_s")
-    ).localCheckpoint(eager=False)
+    ))
     _mark("sched_per_host_ckpt")
-    off_w = (
-        Window.orderBy(F.col("host").asc())
+    # two-level cumulative sum over per-host scheduled counts: level 1
+    # partitions by the 2-char host prefix (a true prefix, so global
+    # host-ASC order == (bucket ASC, host ASC)); level 2 runs over the
+    # per-bucket totals, a table bounded by the prefix alphabet (~2k
+    # rows at ANY frontier scale), so no window anywhere spans an
+    # unbounded single partition.
+    bkts = sched_per_host.withColumn("bkt", F.substring("host", 1, 2))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("host").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
-    offsets = sched_per_host.select(
-        "host", F.coalesce(F.sum("scheduled").over(off_w), F.lit(0)).alias("host_offset")
+    # partition key is a constant-per-row NON-FOLDABLE expression: a
+    # literal would be constant-folded into an empty partition spec
+    # (same execution, but it would read as an unbounded global window —
+    # this one is bounded by the prefix alphabet by construction)
+    w_bkt = (
+        Window.partitionBy(F.substring("bkt", 1, 0))
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    bkt_off = (
+        bkts.groupBy("bkt")
+        .agg(F.sum("scheduled").alias("btot"))
+        .select("bkt", F.coalesce(F.sum("btot").over(w_bkt), F.lit(0)).alias("bkt_off"))
+    )
+    offsets = (
+        bkts.withColumn(
+            "within", F.coalesce(F.sum("scheduled").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bkt_off), "bkt")
+        .select("host", (F.col("bkt_off") + F.col("within")).alias("host_offset"))
     )
     _mark("offsets_plan")
     fetch_batch = scheduled.join(F.broadcast(offsets), "host").select(
@@ -819,7 +864,7 @@ def run_round(
         .withColumn("fetch_status", F.when(F.col("spans").isNotNull(), "fetched").otherwise("miss"))
     )
     _mark("fetched_plan")
-    fetched = fetched.localCheckpoint(eager=False)
+    fetched = ck(fetched)
     _mark("fetched_ckpt")
 
     outlinks = (

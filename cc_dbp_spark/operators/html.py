@@ -9,17 +9,23 @@ to the body with a blank line and every body annotation is offset-shifted
 by the title length (``HtmlToDocument.java:42-48``); charset detection
 runs on raw payload bytes before parsing (``corpus/.../CharsetDetect.java``).
 
-This implementation is a small deterministic regex extractor (the
-container has no HTML/boilerpipe library): good enough to exercise the
-real Spark-side contract — Arrow-batched ``mapInPandas``, interleaved
-span emission, offset discipline, charset column. Swapping in a real
-extractor changes only ``_extract_one``.
+This implementation is a deterministic ``html.parser``-based extractor
+(stdlib; the container has no boilerpipe library): a real tag tokenizer
+handles NESTED and MALFORMED markup (unclosed blocks flush, stray end
+tags are ignored), emits ``text_formatting`` spans for inline b/i/em/
+strong runs and in-block ``link`` spans with exact in-document offsets,
+and applies the reference's KeepEverythingWithMinKWords block filter
+(``boilerpipe/.../TextDocument.java:124``: paragraph-class blocks under
+``min_k_words`` words are dropped; titles/headers/links are kept).
+Swapping in a boilerpipe-fidelity extractor changes only
+:func:`_extract_one`.
 """
 
 from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,19 +35,119 @@ DOC_SCHEMA = (
     "kind:string,text:string,media_ref:string,offset:int>>"
 )
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
-_SCRIPT_RE = re.compile(r"<(script|style)[^>]*>.*?</\1>", re.I | re.S)
-_BLOCK_RE = re.compile(
-    r"<(?P<tag>h[1-6]|p)[^>]*>(?P<body>.*?)</(?P=tag)>|"
-    r"<a\s[^>]*?href=[\"'](?P<href>[^\"']*)[\"'][^>]*>(?P<atext>.*?)</a>",
-    re.I | re.S,
-)
-_TAG_RE = re.compile(r"<[^>]+>")
+DEFAULT_MIN_K_WORDS = 5  # KeepEverythingWithMinKWords' k
+
 _WS_RE = re.compile(r"\s+")
 
+_BLOCK_TAGS = {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "blockquote"}
+_HEADER_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_FMT_TAGS = {"b", "i", "em", "strong"}
+_SKIP_TAGS = {"script", "style"}
 
-def _clean(fragment: str) -> str:
-    return _WS_RE.sub(" ", _TAG_RE.sub(" ", fragment)).strip()
+
+class _Extractor(HTMLParser):
+    """Streaming block builder: accumulates whitespace-collapsed text
+    per block, tracking inline link/formatting runs as [start, end)
+    positions INTO the block text (so annotation offsets survive the
+    collapse exactly)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] = []
+        self.blocks: list[tuple[str, str, str | None, list]] = []
+        self._buf: list[str] = []
+        self._kind: str | None = None
+        self._href: str | None = None  # standalone-<a> block href
+        self._open: list[list] = []  # [kind, start, href]
+        self._done: list[tuple] = []  # (kind, start, end, href)
+        self._skip = 0
+        self._in_title = False
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        for o in self._open:  # dangling inline runs close at block end
+            self._done.append((o[0], o[1], len(self._buf), o[2]))
+        self._open = []
+        text = "".join(self._buf).rstrip()
+        # empty link blocks still emit: the href is the outlink signal
+        # (image anchors etc.) even when the anchor has no text
+        if self._kind == "link" and self._href is not None or (
+            self._kind is not None and text
+        ):
+            inline = [
+                (k, s, min(e, len(text)), h)
+                for (k, s, e, h) in self._done
+                if s < min(e, len(text))
+            ]
+            self.blocks.append((self._kind, text, self._href, inline))
+        self._buf, self._done = [], []
+        self._kind, self._href = None, None
+
+    def _append(self, data: str) -> None:
+        s = _WS_RE.sub(" ", data)
+        if (not self._buf or self._buf[-1] == " ") and s.startswith(" "):
+            s = s[1:]
+        if s:
+            self._buf.extend(s)
+
+    # -- parser hooks ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            self._kind = "section_header" if tag in _HEADER_TAGS else "paragraph"
+        elif tag == "a":
+            href = dict(attrs).get("href")
+            if self._kind is None:
+                self._flush()
+                self._kind, self._href = "link", href
+            else:
+                self._open.append(["link", len(self._buf), href])
+        elif tag in _FMT_TAGS and self._kind is not None:
+            self._open.append(["text_formatting", len(self._buf), None])
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag == "title":
+            self._in_title = False
+        elif tag in _BLOCK_TAGS or tag == "body" or tag == "html":
+            self._flush()
+        elif tag == "a":
+            if self._kind == "link" and not any(o[0] == "link" for o in self._open):
+                self._flush()
+            else:
+                self._close_inline("link")
+        elif tag in _FMT_TAGS:
+            self._close_inline("text_formatting")
+
+    def _close_inline(self, kind: str) -> None:
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == kind:
+                k, s, h = self._open.pop(i)
+                self._done.append((k, s, len(self._buf), h))
+                return
+
+    def handle_data(self, data):
+        if self._skip:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._kind is None:
+            if not data.strip():
+                return
+            self._kind = "paragraph"  # bare text outside any block
+        self._append(data)
 
 
 def detect_charset(payload: bytes) -> str:
@@ -62,37 +168,61 @@ def detect_charset(payload: bytes) -> str:
         return "iso-8859-1"
 
 
-def _extract_one(url: str, html: str) -> list[dict]:
-    """One page -> offset-sorted interleaved spans. Title first at offset
-    0; body spans shifted by len(title)+2 (the reference's '\\n\\n' join)."""
-    stripped = _SCRIPT_RE.sub(" ", html)
-    tm = _TITLE_RE.search(stripped)
-    title = _clean(tm.group(1)) if tm else ""
+def _extract_one(url: str, html: str, min_k_words: int = DEFAULT_MIN_K_WORDS) -> list[dict]:
+    """One page -> offset-sorted interleaved spans.
+
+    Title first at offset 0; body blocks follow shifted by
+    len(title)+2 (the reference's '\\n\\n' join,
+    HtmlToDocument.java:42-48), each KEPT block advancing the offset by
+    len(text)+1. Paragraph-class blocks with fewer than ``min_k_words``
+    words are dropped (and do not advance the offset — they are not part
+    of the document text); titles, headers and link blocks are exempt.
+    Inline link/text_formatting spans carry offsets into the document
+    (block offset + in-block position)."""
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    ex._flush()  # EOF inside an unclosed block
+    title = _WS_RE.sub(" ", " ".join(ex.title_parts)).strip()
     spans = []
     offset = 0
     if title:
         spans.append({"kind": "title", "text": title, "media_ref": None, "offset": 0})
-        offset = len(title) + 2  # title + blank line, HtmlToDocument.java:42-48
-    for m in _BLOCK_RE.finditer(stripped):
-        if m.group("href") is not None:
-            text = _clean(m.group("atext") or "")
+        offset = len(title) + 2
+    for kind, text, href, inline in ex.blocks:
+        if kind == "paragraph" and len(text.split()) < min_k_words:
+            continue
+        if kind == "link":
             spans.append(
-                {"kind": "link", "text": text, "media_ref": m.group("href"), "offset": offset}
+                {"kind": "link", "text": text, "media_ref": href, "offset": offset}
             )
-            offset += len(text) + 1
         else:
-            tag = m.group("tag").lower()
-            text = _clean(m.group("body") or "")
-            if not text:
-                continue
-            kind = "section_header" if tag.startswith("h") else "paragraph"
-            spans.append({"kind": kind, "text": text, "media_ref": None, "offset": offset})
-            offset += len(text) + 1
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": None, "offset": offset}
+            )
+            for ik, s, e, ih in sorted(inline, key=lambda t: (t[1], t[2])):
+                frag = text[s:e]
+                lead = len(frag) - len(frag.lstrip())
+                frag = frag.strip()
+                if not frag:
+                    continue
+                spans.append(
+                    {
+                        "kind": ik,
+                        "text": frag,
+                        "media_ref": ih,
+                        "offset": offset + s + lead,
+                    }
+                )
+        offset += len(text) + 1
     return spans
 
 
 def html_to_documents(
-    pages: DataFrame, url_col: str = "url", payload_col: str = "payload"
+    pages: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    min_k_words: int = DEFAULT_MIN_K_WORDS,
 ) -> DataFrame:
     """Arrow-batched extraction: (url, payload binary) -> (doc_id,
     charset, spans). Pages failing to decode yield empty span arrays
@@ -106,7 +236,7 @@ def html_to_documents(
                 cs = detect_charset(raw)
                 try:
                     html = raw.decode(cs.replace("-sig", "") if cs != "utf-8-sig" else "utf-8-sig")
-                    spans = _extract_one(url, html)
+                    spans = _extract_one(url, html, min_k_words)
                 except Exception:
                     spans = []
                 out.append({"doc_id": url, "charset": cs, "spans": spans})

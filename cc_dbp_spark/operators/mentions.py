@@ -331,6 +331,115 @@ def encode_tensor_lines(chunks: DataFrame) -> DataFrame:
     )
 
 
+def encode_tensor_instances(
+    chunks: DataFrame, vocab: DataFrame, max_pos: int = 64
+) -> DataFrame:
+    """M14 (real tensor encode): per mention-set chunk, the reference's
+    instance tensors (``RelexTensors.java:112-190`` semantics):
+
+    * ``words``      — vocab index per token over ALL sentences of the
+      chunk concatenated (-1 = OOV), tokens whitespace-split from the
+      ARGONE/ARGTWO-rewritten context (M13 makes each arg ONE token).
+    * ``pos1/pos2``  — position-embedding index per token relative to
+      the arg span: ``clamp(max_pos/2 - |wi - arg|, 0, max_pos-1)``
+      (``toPositionEmbeddingNdx``: 0 inside the span, negative offsets
+      clamp at 0; single-token args make before/after symmetric).
+    * ``pool_starts/pool_ends`` — per sentence, the arg-covering span
+      clamped to [1, n_tokens-1] (the mean-pool piece).
+    * ``sent_starts`` — cumulative token offset per sentence.
+    * ``positive``   — the chunk's ground-truth flag (stand-in for the
+      one-hot gtRels row; the groups pipeline carries a boolean label).
+    * ``b64``        — base64(UTF-8(JSON record of the above)): the
+      deterministic serialized line the S12 gather sink consumes. (The
+      reference serializes TensorFileWriter byte records; a JSON tensor
+      record keeps the same information round-trippable and lets the
+      DuckDB oracle decode it.)
+
+    Sentences whose rewrite lost an arg token are skipped, as the
+    reference skips mentions with no token span. Fully native columns;
+    the vocab lookup is an (auto-broadcast) equi-join, never a map
+    literal — vocabularies at corpus scale are tables, not expressions.
+    vocab: (word, widx) with widx the (count desc, word asc) dense rank.
+    """
+    half = max_pos // 2
+    sent = chunks.select(
+        "id1", "id2", "positive", "chunk",
+        F.posexplode("contexts").alias("sent_ndx", "ctx"),
+    ).withColumn("toks", F.split(F.trim(F.col("ctx")), r"\s+"))
+    sent = (
+        sent.withColumn("a1", F.array_position("toks", "ARGONE").cast("int") - 1)
+        .withColumn("a2", F.array_position("toks", "ARGTWO").cast("int") - 1)
+        .filter((F.col("a1") >= 0) & (F.col("a2") >= 0))
+    )
+    n = F.size("toks")
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def pos_row(arg):
+        return F.transform(
+            idx,
+            lambda i: F.greatest(F.lit(0), F.lit(half) - F.abs(i - F.col(arg))).cast("int"),
+        )
+
+    sent = (
+        sent.withColumn("pos1", pos_row("a1"))
+        .withColumn("pos2", pos_row("a2"))
+        .withColumn("pool_start", F.greatest(F.lit(1), F.least("a1", "a2")))
+        .withColumn("pool_end", F.least(n - 1, F.greatest("a1", "a2") + 1))
+    )
+    tok = sent.select(
+        "id1", "id2", "positive", "chunk", "sent_ndx",
+        "pos1", "pos2", "pool_start", "pool_end",
+        F.posexplode("toks").alias("wi", "w"),
+    ).withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
+    tok = tok.join(vocab.select(F.col("word").alias("w"), "widx"), "w", "left")
+    per_sent = tok.groupBy("id1", "id2", "chunk", "sent_ndx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wi", "widx"))),
+            lambda s: F.coalesce(s["widx"], F.lit(-1)).cast("int"),
+        ).alias("words"),
+        F.first("positive").alias("positive"),
+        F.first("pos1").alias("pos1"),
+        F.first("pos2").alias("pos2"),
+        F.first("pool_start").alias("pool_start"),
+        F.first("pool_end").alias("pool_end"),
+    )
+    per_chunk = per_sent.groupBy("id1", "id2", "chunk").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("sent_ndx", "words", "pos1", "pos2", "pool_start", "pool_end")
+            )
+        ).alias("sents"),
+        F.first("positive").alias("positive"),
+    )
+    sizes = F.transform("sents", lambda s: F.size(s["words"]))
+    tensors = per_chunk.select(
+        "id1", "id2", "chunk", "positive",
+        F.flatten(F.transform("sents", lambda s: s["words"])).alias("words"),
+        F.flatten(F.transform("sents", lambda s: s["pos1"])).alias("pos1"),
+        F.flatten(F.transform("sents", lambda s: s["pos2"])).alias("pos2"),
+        F.transform("sents", lambda s: s["pool_start"]).alias("pool_starts"),
+        F.transform("sents", lambda s: s["pool_end"]).alias("pool_ends"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("sents") - 1),
+            lambda i: F.aggregate(
+                F.slice(sizes, F.lit(1), i), F.lit(0), lambda a, b: a + b
+            ),
+        ).alias("sent_starts"),
+    )
+    payload = F.base64(
+        F.encode(
+            F.to_json(
+                F.struct(
+                    "words", "pos1", "pos2",
+                    "pool_starts", "pool_ends", "sent_starts", "positive",
+                )
+            ),
+            "UTF-8",
+        )
+    )
+    return tensors.withColumn("b64", payload)
+
+
 def assign_split(groups: DataFrame, cdf=(0.8, 0.9, 1.0)) -> DataFrame:
     """D4: train/val/test by the deterministic SPLIT draw over the
     ordered pair + CDF bucket (GroundTruth.java:184-205)."""

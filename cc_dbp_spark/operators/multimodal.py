@@ -75,41 +75,61 @@ def extract_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
+            n = len(pdf)
+            # per-row loop is the DECODE SEAM only (codecs are inherently
+            # per-payload); every statistic below is one vectorized
+            # segment pass over the concatenated pixel buffer
+            flats: list[np.ndarray] = []
+            ok = np.ones(n, dtype=bool)
+            errs = np.array([None] * n, dtype=object)
+            for i in range(n):
                 try:
-                    img = _fake_decode_image(bytes(row["payload"]), row["width"], row["height"])
-                    feat = np.concatenate(
-                        [
-                            img.mean(axis=(0, 1)) / 255.0,
-                            img.std(axis=(0, 1)) / 255.0,
-                            [img.shape[0] / 1024.0, img.shape[1] / 1024.0],
-                        ]
-                    ).astype(np.float32)[:feat_dim]
-                    out.append(
-                        {
-                            "media_ref": row["media_ref"],
-                            "kind": row["kind"],
-                            "ok": True,
-                            "error": None,
-                            "feat": feat,
-                            "width": row["width"],
-                            "height": row["height"],
-                        }
+                    img = _fake_decode_image(
+                        bytes(pdf["payload"].iloc[i]),
+                        int(pdf["width"].iloc[i]),
+                        int(pdf["height"].iloc[i]),
                     )
+                    flats.append(img.reshape(-1, 3))
                 except Exception as e:  # noqa: BLE001 - error-row contract
-                    out.append(
-                        {
-                            "media_ref": row["media_ref"],
-                            "kind": row["kind"],
-                            "ok": False,
-                            "error": str(e)[:200],
-                            "feat": None,
-                            "width": None,
-                            "height": None,
-                        }
-                    )
-            yield pd.DataFrame(out)
+                    ok[i] = False
+                    errs[i] = str(e)[:200]
+                    flats.append(np.zeros((0, 3), dtype=np.uint8))
+            sizes = np.array([f.shape[0] for f in flats], dtype=np.int64)
+            buf = (
+                np.concatenate(flats) if n else np.zeros((0, 3), dtype=np.uint8)
+            ).astype(np.float64)
+            # segment mean/std via boundary differences of cumulative sums
+            cs = np.vstack([np.zeros((1, 3)), np.cumsum(buf, axis=0)])
+            cs2 = np.vstack([np.zeros((1, 3)), np.cumsum(buf * buf, axis=0)])
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+            ends = starts + sizes
+            denom = np.maximum(sizes, 1)[:, None].astype(np.float64)
+            mean = (cs[ends] - cs[starts]) / denom
+            std = np.sqrt(
+                np.maximum((cs2[ends] - cs2[starts]) / denom - mean * mean, 0.0)
+            )
+            wcol = pdf["width"].to_numpy()
+            hcol = pdf["height"].to_numpy()
+            feats = np.concatenate(
+                [
+                    mean / 255.0,
+                    std / 255.0,
+                    (hcol / 1024.0)[:, None],
+                    (wcol / 1024.0)[:, None],
+                ],
+                axis=1,
+            )[:, :feat_dim].astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "ok": ok,
+                    "error": errs,
+                    "feat": [feats[i] if ok[i] else None for i in range(n)],
+                    "width": [int(wcol[i]) if ok[i] else None for i in range(n)],
+                    "height": [int(hcol[i]) if ok[i] else None for i in range(n)],
+                }
+            )
 
     return media.mapInPandas(process, FEATURE_SCHEMA)
 
@@ -140,37 +160,56 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
+            n = len(pdf)
+            # per-row decode seam; batched waveform statistics via one
+            # cumulative pass over the concatenated sample buffer
+            segs: list[np.ndarray] = []
+            ok = np.ones(n, dtype=bool)
+            errs = np.array([None] * n, dtype=object)
+            for i in range(n):
                 try:
-                    wav = _fake_decode_audio(
-                        bytes(row["payload"]), row["sample_rate"], row["duration_ms"]
-                    )
-                    zc = float(np.mean(np.abs(np.diff(np.signbit(wav).astype(np.int8)))))
-                    out.append(
-                        {
-                            "media_ref": row["media_ref"],
-                            "ok": True,
-                            "error": None,
-                            "n_samples": len(wav),
-                            "rms": float(np.sqrt(np.mean(wav**2))),
-                            "zero_cross_rate": zc,
-                            "peak": float(np.abs(wav).max()) if len(wav) else 0.0,
-                        }
+                    segs.append(
+                        _fake_decode_audio(
+                            bytes(pdf["payload"].iloc[i]),
+                            int(pdf["sample_rate"].iloc[i]),
+                            int(pdf["duration_ms"].iloc[i]),
+                        )
                     )
                 except Exception as e:  # noqa: BLE001 - error-row contract
-                    out.append(
-                        {
-                            "media_ref": row["media_ref"],
-                            "ok": False,
-                            "error": str(e)[:200],
-                            "n_samples": None,
-                            "rms": None,
-                            "zero_cross_rate": None,
-                            "peak": None,
-                        }
-                    )
-            yield pd.DataFrame(out)
+                    ok[i] = False
+                    errs[i] = str(e)[:200]
+                    segs.append(np.zeros(0, dtype=np.float32))
+            sizes = np.array([len(s) for s in segs], dtype=np.int64)
+            buf = (
+                np.concatenate(segs) if n else np.zeros(0, dtype=np.float32)
+            ).astype(np.float64)
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+            ends = starts + sizes
+            denom = np.maximum(sizes, 1).astype(np.float64)
+            cs2 = np.concatenate([[0.0], np.cumsum(buf * buf)])
+            rms = np.sqrt((cs2[ends] - cs2[starts]) / denom)
+            # zero crossings: sign transitions counted inside each
+            # segment (cumulative transition counts, boundary-corrected)
+            trans = np.abs(np.diff(np.signbit(buf).astype(np.int8)))
+            cst = np.concatenate([[0], np.cumsum(trans)])
+            zc = (
+                cst[np.maximum(ends - 1, starts)] - cst[starts]
+            ) / np.maximum(sizes - 1, 1)
+            peak = np.zeros(n, dtype=np.float64)
+            nz = sizes > 0
+            if nz.any():
+                peak[nz] = np.maximum.reduceat(np.abs(buf), starts[nz])
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "ok": ok,
+                    "error": errs,
+                    "n_samples": [int(sizes[i]) if ok[i] else None for i in range(n)],
+                    "rms": [float(rms[i]) if ok[i] else None for i in range(n)],
+                    "zero_cross_rate": [float(zc[i]) if ok[i] else None for i in range(n)],
+                    "peak": [float(peak[i]) if ok[i] else None for i in range(n)],
+                }
+            )
 
     return media.mapInPandas(process, AUDIO_FEATURE_SCHEMA)
 

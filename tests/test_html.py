@@ -17,20 +17,38 @@ PAGE = b"""<html><head><title>My  Page</title>
 
 
 def test_extract_one_offsets():
-    spans = H._extract_one("u", PAGE.decode())
+    spans = H._extract_one("u", PAGE.decode(), min_k_words=2)
     kinds = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
     assert kinds == [
         ("title", "My Page", None),
         ("section_header", "Header One", None),
         ("paragraph", "First bold paragraph", None),
+        ("text_formatting", "bold", None),
         ("link", "link text", "http://x/a"),
         ("link", "", "http://x/b"),
     ]
-    # title at 0; body starts at len("My Page")+2 = 9; offsets strictly ordered
+    # title at 0; body starts at len("My Page")+2 = 9; offsets ordered
     assert spans[0]["offset"] == 0
     assert spans[1]["offset"] == 9
+    # 'bold' sits inside its paragraph: block offset 20 + len('First ')
+    assert spans[3]["offset"] == spans[2]["offset"] + 6
     offs = [s["offset"] for s in spans]
     assert offs == sorted(offs)
+
+
+def test_min_k_words_filter_and_malformed():
+    page = ("<p>one two three four five</p><p>too short</p>"
+            "<p>unclosed with at least five words<h2>Head <i>x</i></h2>")
+    spans = H._extract_one("u", page)  # default min_k_words=5
+    got = [(s["kind"], s["text"]) for s in spans]
+    assert got == [
+        ("paragraph", "one two three four five"),
+        ("paragraph", "unclosed with at least five words"),
+        ("section_header", "Head x"),
+        ("text_formatting", "x"),
+    ]
+    # dropped blocks do not advance the offset
+    assert spans[1]["offset"] == len("one two three four five") + 1
 
 
 def test_detect_charset():
@@ -45,11 +63,11 @@ def test_spark_html_to_documents(spark):
         [("http://site/p1", bytearray(PAGE)), ("http://site/bad", bytearray(b"\xff\xfeno"))],
         "url string, payload binary",
     )
-    docs = H.html_to_documents(pages)
+    docs = H.html_to_documents(pages, min_k_words=2)
     rows = {r.doc_id: r for r in docs.collect()}
     assert rows["http://site/p1"].charset == "utf-8"
     assert [s.kind for s in rows["http://site/p1"].spans] == [
-        "title", "section_header", "paragraph", "link", "link",
+        "title", "section_header", "paragraph", "text_formatting", "link", "link",
     ]
     # output obeys the sorted-span invariant
     ok = {r.doc_id: r.ok for r in S.spans_sorted_ok(docs.select("doc_id", "spans")).collect()}

