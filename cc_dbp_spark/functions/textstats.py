@@ -10,6 +10,7 @@ word counting (``GatherRelexVocab.java:131-138``).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -86,6 +87,133 @@ def lang_id(text: Column) -> Column:
         )
     )
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------- M5
+# Trigram naive-Bayes language posterior — the shipped language FILTER
+# (the reference thresholds a real detector's P(lang) >= 0.8,
+# LanguageScorer.java:41-76). The native stopword vote above remains the
+# SQL-oracle-able query; this model is the fidelity path: hashed
+# character-trigram log-probability profiles built at import time from
+# embedded seed text (original sentences written for this module), with
+# per-batch numpy scoring inside a pandas UDF (no per-row Python string
+# loops: each text becomes one byte array and its trigram bucket ids are
+# three shifted views combined arithmetically).
+
+_SEED_TEXT = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the children "
+        "watch from the garden and their mother brings them bread with "
+        "butter and honey because it is a warm afternoon and everyone "
+        "would rather stay outside than finish the work that is waiting "
+        "inside the house which has been there for many years"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux pendant que "
+        "les enfants regardent depuis le jardin et que leur mère leur "
+        "apporte du pain avec du beurre et du miel parce que c'est un "
+        "après-midi chaud et que tout le monde préfère rester dehors "
+        "plutôt que de finir le travail qui attend dans la maison"
+    ),
+    "es": (
+        "el zorro marrón salta sobre el perro perezoso mientras los "
+        "niños miran desde el jardín y su madre les trae pan con "
+        "mantequilla y miel porque es una tarde cálida y todos "
+        "prefieren quedarse afuera en lugar de terminar el trabajo que "
+        "espera dentro de la casa que lleva allí muchos años"
+    ),
+    "de": (
+        "der braune fuchs springt über den faulen hund während die "
+        "kinder aus dem garten zuschauen und ihre mutter ihnen brot mit "
+        "butter und honig bringt weil es ein warmer nachmittag ist und "
+        "alle lieber draußen bleiben als die arbeit zu beenden die im "
+        "haus wartet das seit vielen jahren dort steht"
+    ),
+    "it": (
+        "la volpe marrone salta sopra il cane pigro mentre i bambini "
+        "guardano dal giardino e la loro madre porta loro pane con "
+        "burro e miele perché è un pomeriggio caldo e tutti "
+        "preferiscono stare fuori piuttosto che finire il lavoro che "
+        "aspetta dentro la casa che è lì da molti anni"
+    ),
+    "pt": (
+        "a raposa marrom pula sobre o cão preguiçoso enquanto as "
+        "crianças observam do jardim e a mãe delas traz pão com "
+        "manteiga e mel porque é uma tarde quente e todos preferem "
+        "ficar do lado de fora em vez de terminar o trabalho que "
+        "espera dentro da casa que está lá há muitos anos"
+    ),
+}
+
+_LANGS = sorted(_SEED_TEXT)
+_N_BUCKETS = 4096
+
+
+def _trigram_buckets(data: bytes):
+    """Bucket ids of every byte trigram — pure numpy, no Python loop."""
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if len(b) < 3:
+        return np.zeros(0, dtype=np.int64)
+    return ((b[:-2] * 31 + b[1:-1]) * 31 + b[2:]) % _N_BUCKETS
+
+
+def _build_profiles():
+    import numpy as np
+
+    counts = np.ones((_N_BUCKETS, len(_LANGS)))  # Laplace smoothing
+    for j, lang in enumerate(_LANGS):
+        bk = _trigram_buckets((" " + _SEED_TEXT[lang] + " ").encode("utf-8"))
+        np.add.at(counts, bk, np.eye(len(_LANGS))[j])
+    return np.log(counts / counts.sum(axis=0, keepdims=True))
+
+
+_PROFILES = None
+
+
+def _profiles():
+    global _PROFILES
+    if _PROFILES is None:
+        _PROFILES = _build_profiles()
+    return _PROFILES
+
+
+def score_language(texts) -> "tuple":
+    """(best_lang, posterior) per text — the numpy kernel (shared by the
+    pandas UDF and tests). Posterior is the softmax over per-language
+    mean trigram log-probabilities; empty/too-short texts -> ('und', 0)."""
+    import numpy as np
+
+    logp = _profiles()
+    langs = np.array(_LANGS)
+    out_lang, out_post = [], []
+    for t in texts:
+        norm = " ".join((t or "").lower().split())
+        bk = _trigram_buckets(norm.encode("utf-8"))
+        if len(bk) < 4:
+            out_lang.append("und")
+            out_post.append(0.0)
+            continue
+        scores = logp[bk].mean(axis=0)
+        e = np.exp((scores - scores.max()) * 20.0)  # sharpen: mean-logp gaps are small
+        p = e / e.sum()
+        j = int(np.argmax(p))
+        out_lang.append(str(langs[j]))
+        out_post.append(float(p[j]))
+    return out_lang, out_post
+
+
+def lang_posterior_udf():
+    """pandas UDF: text -> struct(lang, posterior). Use
+    ``filter(col('lp.posterior') >= 0.8)`` for the reference's P7
+    threshold semantics."""
+    @F.pandas_udf("lang string, posterior double")
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        lang, post = score_language(texts)
+        return pd.DataFrame({"lang": lang, "posterior": post})
+
+    return fn
 
 
 def fingerprint(text: Column) -> Column:

@@ -88,3 +88,43 @@ def test_bpe_ish_token_count(spark):
     n = df.select(ts.bpe_ish_token_count(F.col("text")).alias("n")).first().n
     # hello , world ! 42 x  -> 6
     assert n == 6
+
+
+HELDOUT = [
+    ("the government announced a new policy on education and health "
+     "services for all citizens of the country", "en"),
+    ("le gouvernement a annoncé une nouvelle politique pour les écoles "
+     "et les hôpitaux du pays", "fr"),
+    ("el gobierno anunció una nueva política para las escuelas y los "
+     "hospitales del país", "es"),
+    ("die regierung hat eine neue politik für die schulen und "
+     "krankenhäuser des landes angekündigt", "de"),
+    ("il governo ha annunciato una nuova politica per le scuole e gli "
+     "ospedali del paese", "it"),
+    ("o governo anunciou uma nova política para as escolas e os "
+     "hospitais do país", "pt"),
+]
+
+
+def test_score_language_heldout_kernel():
+    """M5 fidelity path: the trigram NB posterior classifies held-out
+    sentences (None of them appear in the seed profiles)."""
+    langs, posts = ts.score_language([t for t, _ in HELDOUT] + ["zz", None])
+    assert langs == [want for _, want in HELDOUT] + ["und", "und"]
+    assert all(p > 0.2 for p in posts[: len(HELDOUT)])
+    assert posts[-1] == 0.0 and posts[-2] == 0.0
+
+
+def test_lang_posterior_udf_threshold(spark):
+    df = spark.createDataFrame(
+        [(t,) for t, _ in HELDOUT] + [("qq zz kk",)], "text string"
+    )
+    out = df.select(ts.lang_posterior_udf()(F.col("text")).alias("lp")).select(
+        F.col("lp.lang").alias("lang"), F.col("lp.posterior").alias("p")
+    ).collect()
+    got = [r.lang for r in out]
+    assert got[: len(HELDOUT)] == [want for _, want in HELDOUT]
+    # the P(lang) >= threshold filter drops garbage, keeps confident rows
+    confident = [r for r in out if r.p >= 0.5]
+    assert len(confident) >= 3
+    assert all(r.lang != "und" for r in confident)
