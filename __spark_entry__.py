@@ -543,6 +543,20 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based user sessionization — batch twin of the
+    applyInPandasWithState streaming operator (closed-session parity in
+    test_serde_layout_streaming); lag + cumulative-sum windows, one
+    shuffle on user_id."""
+    from cc_dbp_spark.streaming import events as ev
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.sessionize_batch(e, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "n_events", "sum_value",
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped multi-metric aggregation (A9-style stats rollup)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -846,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "resize_plan": q_resize_plan,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         "lineitem_pricing": q_lineitem_pricing,
         "host_counts": q_host_counts,
         "gazetteer_mentions": q_gazetteer_mentions,
@@ -1323,6 +1338,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(width * sc, 0) AS INT) AS out_width,
                    CAST(round(height * sc, 0) AS INT) AS out_height
             FROM s
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, CAST(sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+              FROM o
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY 1, 2
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,

@@ -58,3 +58,110 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+# ------------------------------------------------------------ sessions
+# Gap-based user sessionization — the engine's custom STATEFUL
+# streaming operator (applyInPandasWithState) plus its batch twin.
+# The batch twin is SQL-expressible (lag + cumulative sum), so the
+# driver oracle value-checks it; the streaming operator is
+# parity-tested against it (closed sessions match exactly).
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, sum_value double"
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessions per user: a new session starts when the gap to the
+    previous event exceeds `gap_minutes`. Pure window functions —
+    shuffles once on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events ts is TIMESTAMP_NTZ; the session timezone is pinned UTC so
+    # the cast is a pure type change
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > gap_minutes * 60_000_000), 1).otherwise(0)
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) - 1
+    return (
+        events.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState``: per-user
+    GroupState carries the one open session (start, last, n, sum);
+    CLOSED sessions emit as soon as a later event proves the gap. The
+    kernel is vectorized per batch (numpy gap/segment math); only the
+    state carry is per-group."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            s_start, s_last, s_n, s_sv = state.get
+        else:
+            s_start = None
+        parts = [p[["ts", "event_id", "value"]] for p in pdfs]
+        if not parts:
+            yield pd.DataFrame(
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
+            )
+            return
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
+        ts = pdf["ts"].astype("int64").to_numpy()  # ns
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        brk = np.concatenate([[True], np.diff(ts) > gap_ns])
+        seg = np.cumsum(brk) - 1
+        starts_idx = np.nonzero(brk)[0]
+        ends_idx = np.concatenate([starts_idx[1:] - 1, [len(ts) - 1]])
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        seg_start = ts[starts_idx]
+        seg_end = ts[ends_idx]
+        seg_n = ends_idx - starts_idx + 1
+        seg_sv = cs[ends_idx + 1] - cs[starts_idx]
+        rows = []  # (start_ns, end_ns, n, sv) of CLOSED sessions
+        if s_start is not None:
+            if ts[0] - s_last <= gap_ns:
+                # carried session absorbs segment 0
+                seg_start[0] = s_start
+                seg_n[0] += s_n
+                seg_sv[0] += s_sv
+            else:
+                rows.append((s_start, s_last, s_n, s_sv))
+        for i in range(len(seg_start) - 1):  # all but the still-open last
+            rows.append((seg_start[i], seg_end[i], int(seg_n[i]), float(seg_sv[i])))
+        state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_sv[-1])))
+        out = pd.DataFrame(rows, columns=["s", "e", "n", "sv"])
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(out), key[0], dtype=np.int64),
+                "session_start": pd.to_datetime(out["s"].astype("int64"), utc=False),
+                "session_end": pd.to_datetime(out["e"].astype("int64"), utc=False),
+                "n_events": out["n"].astype("int64"),
+                "sum_value": out["sv"].round(2),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="start long, last long, n bigint, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

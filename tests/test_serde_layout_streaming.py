@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cc_dbp_spark.plans import layout
@@ -109,3 +110,32 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert len(emitted) > 0
     for k, v in emitted.items():
         assert want[k] == v
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: the streamed CLOSED
+    sessions equal the batch twin's sessions minus each user's final
+    (still-open) session."""
+    src = tmp_path / "sess_src"
+    ev_batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev_batch.coalesce(1).write.parquet(str(src))  # one file -> one microbatch
+
+    stream = ev.sessionize_stream(ev.read_event_stream(spark, str(src)), gap_minutes=30)
+    out = tmp_path / "sess_out"
+    ev.run_available_now(stream, str(out), str(tmp_path / "sess_ckpt"))
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    batch = ev.sessionize_batch(ev_batch, gap_minutes=30)
+    w = Window.partitionBy("user_id")
+    closed = batch.withColumn("last_sid", F.max("session_id").over(w)).filter(
+        F.col("session_id") < F.col("last_sid")
+    )
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == want
