@@ -794,8 +794,7 @@ def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded tensor arrays; the serialized b64 line is a deterministic
     function of them (round-trip pytest in test_vocab_tensors)."""
     lab = _mention_pipeline(spark, sf_dir)
-    groups = mentions.mention_groups(lab, min_mention_set=2)
-    chunks = mentions.tensor_chunks(groups, max_mention_set=5)
+    rows = mentions.tensor_chunk_rows(lab, min_mention_set=2, max_mention_set=5)
     wc = q_word_counts(spark, sf_dir)
     # T3-style bounded sorted vocab: post-min-count vocab is collect-safe
     # by construction (the same bound the reference's RelexVocab relies
@@ -803,7 +802,7 @@ def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier-scale one
     wv = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     vocab = wc.select("word", (F.row_number().over(wv) - 1).alias("widx"))
-    t = mentions.encode_tensor_instances(chunks, vocab, max_pos=64)
+    t = mentions.encode_tensor_rows(rows, vocab, max_pos=64)
     return t.select(
         "id1", "id2", "chunk", "positive", "words", "pos1", "pos2",
         "pool_starts", "pool_ends", "sent_starts",

@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "crawl_round_set",
     "crawl_multiround",
     "media_features",
+    "warc_parse",
+    "tensor_lines",
+    "sessionize",
+    "html_extract",
     "events_hourly",
     "lineitem_pricing",
     "gazetteer_mentions",

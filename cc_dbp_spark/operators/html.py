@@ -151,8 +151,15 @@ class _Extractor(HTMLParser):
 
 
 def detect_charset(payload: bytes) -> str:
-    """Deterministic charset sniff: BOM -> declared meta -> utf-8 trial ->
-    iso-8859-1 fallback (the CharsetDetect role without the chardet lib)."""
+    """Deterministic charset sniff (the CharsetDetect role without the
+    chardet lib): BOM -> declared meta -> utf-8 trial -> BOM-less utf-16
+    null-density heuristic -> legacy single-byte trial scoring.
+
+    The legacy step decodes the high-byte tail under candidate codecs
+    (cp1252 first — the WHATWG rule maps latin-1 labels to cp1252 —
+    then cp1251 for Cyrillic) and keeps the codec whose non-ascii chars
+    are most often alphabetic; ties break in candidate order, so the
+    result is deterministic for any input."""
     if payload.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
     if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
@@ -161,11 +168,42 @@ def detect_charset(payload: bytes) -> str:
     m = re.search(rb'charset=["\']?([a-z0-9_\-]+)', head)
     if m:
         return m.group(1).decode("ascii", "replace")
+    sample = payload[:8192]
+    if sample:
+        # BOM-less utf-16 first: interleaved NULs are VALID utf-8 bytes,
+        # but no real utf-8 text is 30% NUL
+        nulls = sample.count(0)
+        if nulls / len(sample) >= 0.3:
+            return "utf-16-le" if sample[1:2] == b"\x00" else "utf-16-be"
     try:
         payload.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "iso-8859-1"
+        pass
+    # high-byte density discriminates script families that alpha-ratio
+    # cannot (cp1251 Cyrillic and cp1252 accented latin both decode to
+    # letters): Cyrillic/Greek text is nearly ALL high bytes, latin text
+    # sprinkles accents among ascii letters
+    nonws = [b for b in sample if b not in (0x20, 0x09, 0x0A, 0x0D)]
+    hi_density = (sum(b >= 0x80 for b in nonws) / len(nonws)) if nonws else 0.0
+    candidates = (
+        ("cp1251", "cp1252", "iso-8859-1")
+        if hi_density >= 0.6
+        else ("cp1252", "cp1251", "iso-8859-1")
+    )
+    best, best_score = "iso-8859-1", -1.0
+    for codec in candidates:
+        try:
+            text = sample.decode(codec)
+        except UnicodeDecodeError:
+            continue
+        hi = [c for b, c in zip(sample, text) if b >= 0x80]
+        if not hi:
+            return "iso-8859-1"
+        score = sum(c.isalpha() for c in hi) / len(hi)
+        if score > best_score:
+            best, best_score = codec, score
+    return best
 
 
 def _extract_one(url: str, html: str, min_k_words: int = DEFAULT_MIN_K_WORDS) -> list[dict]:

@@ -331,6 +331,45 @@ def encode_tensor_lines(chunks: DataFrame) -> DataFrame:
     )
 
 
+def tensor_chunk_rows(
+    labeled: DataFrame, min_mention_set: int = 2, max_mention_set: int = 5
+) -> DataFrame:
+    """Row-based P3+A4+F6: deduped mention rows -> (id1, id2, positive,
+    chunk, sent_ndx, ctx) WITHOUT ever collecting a group's contexts
+    into one array. mention_groups' collect_list builds a single row of
+    every context of a group — a multi-MB (at web scale multi-GB) row
+    for hot entity pairs that OOMs wide executors; here group stats,
+    round-robin chunk assignment (element i -> chunk i mod n_chunks,
+    CollectionUtil.partition semantics) and in-chunk order all come
+    from windows over plain rows, so memory per task is O(1) rows."""
+    uniq = labeled.withColumn(
+        "__u",
+        F.concat_ws(
+            "|",
+            F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"), F.col("sentence"),
+        ),
+    ).dropDuplicates(["id1", "id2", "__u"])
+    # pre-dedupe group sizes gate min_mention_set (P3 contract)
+    pre = labeled.groupBy("id1", "id2").agg(F.count("*").alias("n_pre"))
+    uniq = uniq.join(pre.filter(F.col("n_pre") >= min_mention_set), ["id1", "id2"], "left_semi")
+    g = Window.partitionBy("id1", "id2")
+    ordered = (
+        uniq.withColumn("__pos", F.row_number().over(
+            g.orderBy("rewritten", "s1", "e1", "s2", "e2")) - 1)
+        .withColumn("__cnt", F.count("*").over(g))
+        .withColumn("positive", F.max(F.col("is_positive").cast("int")).over(g).cast("boolean"))
+        .filter(F.col("__cnt") >= min_mention_set)
+    )
+    nchunks = F.ceil(F.col("__cnt") / F.lit(max_mention_set)).cast("int")
+    rows = ordered.withColumn("chunk", F.pmod("__pos", nchunks).cast("int"))
+    wc = Window.partitionBy("id1", "id2", "chunk").orderBy("__pos")
+    return rows.select(
+        "id1", "id2", "positive", "chunk",
+        (F.row_number().over(wc) - 1).alias("sent_ndx"),
+        F.col("rewritten").alias("ctx"),
+    )
+
+
 def encode_tensor_instances(
     chunks: DataFrame, vocab: DataFrame, max_pos: int = 64
 ) -> DataFrame:
@@ -361,34 +400,36 @@ def encode_tensor_instances(
     literal — vocabularies at corpus scale are tables, not expressions.
     vocab: (word, widx) with widx the (count desc, word asc) dense rank.
     """
+    return encode_tensor_rows(
+        chunks.select(
+            "id1", "id2", "positive", "chunk",
+            F.posexplode("contexts").alias("sent_ndx", "ctx"),
+        ),
+        vocab,
+        max_pos,
+    )
+
+
+def encode_tensor_rows(
+    sent_rows: DataFrame, vocab: DataFrame, max_pos: int = 64
+) -> DataFrame:
+    """Row-form M14 (see :func:`encode_tensor_instances`): input is
+    (id1, id2, positive, chunk, sent_ndx, ctx) rows — pair with
+    :func:`tensor_chunk_rows` so no stage ever holds a whole mention
+    set in one row."""
     half = max_pos // 2
-    sent = chunks.select(
-        "id1", "id2", "positive", "chunk",
-        F.posexplode("contexts").alias("sent_ndx", "ctx"),
-    ).withColumn("toks", F.split(F.trim(F.col("ctx")), r"\s+"))
+    sent = sent_rows.withColumn("toks", F.split(F.trim(F.col("ctx")), r"\s+"))
     sent = (
         sent.withColumn("a1", F.array_position("toks", "ARGONE").cast("int") - 1)
         .withColumn("a2", F.array_position("toks", "ARGTWO").cast("int") - 1)
         .filter((F.col("a1") >= 0) & (F.col("a2") >= 0))
     )
-    n = F.size("toks")
-    idx = F.sequence(F.lit(0), n - 1)
-
-    def pos_row(arg):
-        return F.transform(
-            idx,
-            lambda i: F.greatest(F.lit(0), F.lit(half) - F.abs(i - F.col(arg))).cast("int"),
-        )
-
-    sent = (
-        sent.withColumn("pos1", pos_row("a1"))
-        .withColumn("pos2", pos_row("a2"))
-        .withColumn("pool_start", F.greatest(F.lit(1), F.least("a1", "a2")))
-        .withColumn("pool_end", F.least(n - 1, F.greatest("a1", "a2") + 1))
-    )
+    # only SCALARS (a1, a2, n) ride through the token explode — deriving
+    # the position rows before exploding would attach an O(n) array to
+    # every one of n token rows (O(n^2) shuffle bytes per sentence)
+    sent = sent.withColumn("n_toks", F.size("toks"))
     tok = sent.select(
-        "id1", "id2", "positive", "chunk", "sent_ndx",
-        "pos1", "pos2", "pool_start", "pool_end",
+        "id1", "id2", "positive", "chunk", "sent_ndx", "a1", "a2", "n_toks",
         F.posexplode("toks").alias("wi", "w"),
     ).withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
     tok = tok.join(vocab.select(F.col("word").alias("w"), "widx"), "w", "left")
@@ -398,10 +439,23 @@ def encode_tensor_instances(
             lambda s: F.coalesce(s["widx"], F.lit(-1)).cast("int"),
         ).alias("words"),
         F.first("positive").alias("positive"),
-        F.first("pos1").alias("pos1"),
-        F.first("pos2").alias("pos2"),
-        F.first("pool_start").alias("pool_start"),
-        F.first("pool_end").alias("pool_end"),
+        F.first("a1").alias("a1"),
+        F.first("a2").alias("a2"),
+        F.first("n_toks").alias("n_toks"),
+    )
+    idx = F.sequence(F.lit(0), F.col("n_toks") - 1)
+
+    def pos_row(arg):
+        return F.transform(
+            idx,
+            lambda i: F.greatest(F.lit(0), F.lit(half) - F.abs(i - F.col(arg))).cast("int"),
+        )
+
+    per_sent = (
+        per_sent.withColumn("pos1", pos_row("a1"))
+        .withColumn("pos2", pos_row("a2"))
+        .withColumn("pool_start", F.greatest(F.lit(1), F.least("a1", "a2")))
+        .withColumn("pool_end", F.least(F.col("n_toks") - 1, F.greatest("a1", "a2") + 1))
     )
     per_chunk = per_sent.groupBy("id1", "id2", "chunk").agg(
         F.array_sort(

@@ -55,7 +55,19 @@ def test_detect_charset():
     assert H.detect_charset("café".encode("utf-8")) == "utf-8"
     assert H.detect_charset(b"\xef\xbb\xbfhi") == "utf-8-sig"
     assert H.detect_charset(b'<meta charset="ISO-8859-1">') == "iso-8859-1"
-    assert H.detect_charset(b"caf\xe9 latin") == "iso-8859-1"
+    # unlabeled legacy bytes: accented latin decodes as letters under
+    # cp1252 (the WHATWG latin-1 -> cp1252 rule wins the trial score)
+    assert H.detect_charset(b"caf\xe9 latin") == "cp1252"
+    # a lone 0x80 is ambiguous (euro in cp1252, letter Dje in cp1251);
+    # the alpha-ratio scorer deterministically prefers the letter
+    # reading — the point is determinism, not omniscience
+    assert H.detect_charset(b"price \x80 42") == "cp1251"
+    # unlabeled Cyrillic (cp1251 bytes): letters only under cp1251
+    ru = "привет мир это тест".encode("cp1251")
+    assert H.detect_charset(b"<p>" + ru + b"</p>") == "cp1251"
+    # BOM-less utf-16 via null-byte density
+    assert H.detect_charset("hello world page".encode("utf-16-le")) == "utf-16-le"
+    assert H.detect_charset("hello world page".encode("utf-16-be")) == "utf-16-be"
 
 
 def test_spark_html_to_documents(spark):
