@@ -480,11 +480,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads -> mapInPandas decode
     (stubbed deterministic fake) -> typed feature rows."""
     d = _docs(spark, sf_dir)
-    refs = [
-        f"http://{r['source']}.ex.com/img{r['doc_id']}.jpg"
-        for r in d.filter(F.col("doc_id") < 64).select("doc_id", "source").collect()
-    ]
-    media = multimodal.synth_media_table(spark, refs)
+    refs = d.filter(F.col("doc_id") < 64).select(
+        F.concat(F.lit("http://"), "source", F.lit(".ex.com/img"),
+                 F.col("doc_id").cast("string"), F.lit(".jpg")).alias("media_ref")
+    )
+    media = multimodal.synth_media_df(refs)
     feats = multimodal.extract_image_features(media)
     return feats.select("media_ref", "ok", "width", "height", F.size("feat").alias("feat_dim"))
 
@@ -497,11 +497,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stub RNG and are value-checked in tests/test_pipeline.py
     instead."""
     d = _docs(spark, sf_dir)
-    refs = [
-        f"http://{r['source']}.ex.com/a{r['doc_id']}.wav"
-        for r in d.filter(F.col("doc_id") < 48).select("doc_id", "source").collect()
-    ]
-    media = multimodal.synth_media_table(spark, refs, kind="audio")
+    refs = d.filter(F.col("doc_id") < 48).select(
+        F.concat(F.lit("http://"), "source", F.lit(".ex.com/a"),
+                 F.col("doc_id").cast("string"), F.lit(".wav")).alias("media_ref")
+    )
+    media = multimodal.synth_media_df(refs, kind="audio")
     feats = multimodal.extract_audio_features(media)
     return feats.select("media_ref", "ok", "n_samples")
 
@@ -510,11 +510,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path: deterministic frame sampling x image
     feature kernel (one row per sampled frame)."""
     d = _docs(spark, sf_dir)
-    refs = [
-        f"http://{r['source']}.ex.com/v{r['doc_id']}.mp4"
-        for r in d.filter(F.col("doc_id") < 16).select("doc_id", "source").collect()
-    ]
-    media = multimodal.synth_media_table(spark, refs, kind="video")
+    refs = d.filter(F.col("doc_id") < 16).select(
+        F.concat(F.lit("http://"), "source", F.lit(".ex.com/v"),
+                 F.col("doc_id").cast("string"), F.lit(".mp4")).alias("media_ref")
+    )
+    media = multimodal.synth_media_df(refs, kind="video")
     feats = multimodal.video_frame_features(media, every_ms=1000)
     return feats.select("media_ref", "ok", "width", "height", F.size("feat").alias("feat_dim"))
 

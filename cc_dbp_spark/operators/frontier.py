@@ -1048,13 +1048,17 @@ class CrawlDriver:
             candidates = out["outlinks"].localCheckpoint(eager=True)
             n_out = candidates.count()
             # truncate state lineage every round — without this the
-            # logical plan grows per round and analysis dominates runtime
+            # logical plan grows per round and analysis dominates
+            # runtime. LAZY checkpoints truncate the logical plan at
+            # creation and materialize inside the first consuming job
+            # (next round's schedule, or the isEmpty probe below) — each
+            # eager one here was a separate per-round driver barrier.
             n_seen_prev = state.get("n_seen", 0)
             new_state = {
-                k: out[k].localCheckpoint(eager=True) for k in ("frontier", "seen", "credit")
+                k: out[k].localCheckpoint(eager=False) for k in ("frontier", "seen", "credit")
             }
             if out.get("filter") is not None:
-                new_state["filter"] = out["filter"].localCheckpoint(eager=True)
+                new_state["filter"] = out["filter"].localCheckpoint(eager=False)
             state = new_state
             state["n_seen"] = n_seen_prev + n_sched
             state["seen_nonempty"] = state["n_seen"] > 0
@@ -1062,8 +1066,8 @@ class CrawlDriver:
             out["fetch_batch"] = batch
             self._ckpt(rnd, out, candidates)
             batches.append(batch)
-            audits.append(out["audit"].localCheckpoint(eager=True))
-            emitted.append(out["emitted"].localCheckpoint(eager=True))
+            audits.append(out["audit"].localCheckpoint(eager=False))
+            emitted.append(out["emitted"].localCheckpoint(eager=False))
             if n_sched == 0 and n_out == 0:
                 break
         import functools

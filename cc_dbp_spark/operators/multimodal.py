@@ -55,6 +55,34 @@ def synth_media_table(spark, refs: list[str], kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_media_df(
+    refs: DataFrame, kind: str = "image", ref_col: str = "media_ref"
+) -> DataFrame:
+    """Distributed twin of :func:`synth_media_table`: media rows are
+    generated per Arrow batch from a ref COLUMN (no driver-side ref
+    list), with byte-identical payload/metadata derivation."""
+    cols = [
+        "media_ref", "kind", "payload", "width", "height",
+        "sample_rate", "duration_ms",
+    ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf[ref_col]:
+                d = hashlib.sha256(ref.encode()).digest()
+                rows.append(
+                    (
+                        ref, kind, bytearray((d * 8)[:256]),
+                        64 + d[0] % 192, 64 + d[1] % 192,
+                        8000 + d[2] * 16, 1000 + d[3] * 20,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return refs.select(ref_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decode — deterministic fake pixels from payload bytes.
 
