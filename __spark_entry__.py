@@ -994,6 +994,131 @@ def _hex_byte(hex_col: str, k: int) -> str:
     return f"({hi} * 16 + {lo})"
 
 
+def _multiround_oracle_sql(fd: str, ties_path: str, n_rounds: int = 3) -> str:
+    """The FULL multi-round crawl unrolled into chained SQL CTEs — one
+    complete scheduling round per unroll step (canonicalize -> seen
+    anti-join -> frontier merge -> dedupe -> RFC-9309 longest-prefix
+    robots -> budgets from credit∪robots with defaults -> priority +
+    tie top-k per host -> global positions -> outlink feedback -> seen/
+    frontier/credit carry). The only non-SQL ingredient is the sha1 tie
+    draw, read from the pure-Python-twin fixture (ensure_crawl_ties).
+    Bloom filters are advisory in the engine (exact anti-join confirms),
+    so the oracle's plain anti-join reproduces the same decisions."""
+    import re as _re
+
+    def canon_chunk(r: int) -> str:
+        chunk = _canon_cte(
+            "url",
+            key_cols="rid, depth",
+            src=f"(SELECT row_number() OVER () AS rid, url, depth FROM cand_{r}) s{r}",
+            lead="",
+        )
+        for name in ("u0", "u1", "parts", "hp", "hpp", "pq", "pp", "canon"):
+            chunk = _re.sub(rf"\b{name}\b", f"{name}_{r}", chunk)
+        return chunk
+
+    path_of = (
+        "CASE WHEN regexp_replace(regexp_replace(d.url,"
+        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', ''), '\\?.*$', '') = '' THEN '/'"
+        " ELSE regexp_replace(regexp_replace(d.url,"
+        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', ''), '\\?.*$', '') END"
+    )
+    sql = [
+        f"WITH ties AS (SELECT url, tie FROM read_parquet('{ties_path}')),",
+        "robots AS (SELECT host, allow_prefixes, deny_prefixes, crawl_delay_s"
+        f" FROM read_parquet('{fd}/robots_rules.parquet')),",
+        "docspans AS (SELECT doc_id, unnest(spans) AS s"
+        f" FROM read_parquet('{fd}/documents_spans.parquet')),",
+        "cand_0 AS (SELECT url, CAST(depth AS INT) AS depth"
+        f" FROM read_parquet('{fd}/seeds.parquet')),",
+        "cred_0 AS (SELECT NULL::VARCHAR AS host, NULL::DOUBLE AS credit WHERE false),",
+        "seen_0 AS (SELECT NULL::VARCHAR AS url WHERE false),",
+        "f_0 AS (SELECT NULL::VARCHAR AS url, NULL::VARCHAR AS host,"
+        " NULL::INT AS depth, NULL::BIGINT AS link_count,"
+        " NULL::INT AS round_added WHERE false),",
+    ]
+    for r in range(n_rounds):
+        lc = "0" if r == 0 else "1"
+        sql.append(canon_chunk(r) + ",")
+        sql.append(f"""
+        new_{r} AS (
+          SELECT url, host_out AS host, depth, CAST({lc} AS BIGINT) AS lc,
+                 {r} AS ra
+          FROM canon_{r}
+          WHERE url NOT IN (SELECT url FROM seen_{r})),
+        all_{r} AS (
+          SELECT url, host, depth, link_count AS lc, round_added AS ra FROM f_{r}
+          UNION ALL SELECT url, host, depth, lc, ra FROM new_{r}),
+        dedup_{r} AS (
+          SELECT host, url, CAST(min(depth) AS INT) AS depth,
+                 sum(lc) AS link_count, CAST(min(ra) AS INT) AS round_added
+          FROM all_{r} GROUP BY 1, 2),
+        bud_{r} AS (
+          SELECT h.host, COALESCE(c.credit, 0.0) + 10.0 AS credit0,
+                 CASE WHEN rb.crawl_delay_s IS NULL OR rb.crawl_delay_s <= 0
+                      THEN 1.0 ELSE rb.crawl_delay_s END AS delay
+          FROM (SELECT host FROM cred_{r} UNION SELECT host FROM robots) h
+          LEFT JOIN cred_{r} c USING (host)
+          LEFT JOIN robots rb USING (host)),
+        budk_{r} AS (
+          SELECT host, credit0, delay,
+                 CAST(floor(credit0 / delay) AS INT) AS k FROM bud_{r}),
+        flag_{r} AS (
+          SELECT d.host, d.url, d.depth, d.link_count, d.round_added,
+                 COALESCE(b.k, 10) AS k, COALESCE(b.delay, 1.0) AS delay,
+                 1.0 / (1.0 + d.depth) + 0.1 * ln(1.0 + d.link_count) AS priority,
+                 t.tie,
+                 COALESCE(list_max(list_transform(
+                     list_filter(rb.deny_prefixes,
+                                 p -> starts_with({path_of}, p)),
+                     p -> length(p))), -1)
+                 > COALESCE(list_max(list_transform(
+                     list_filter(rb.allow_prefixes,
+                                 p -> starts_with({path_of}, p)),
+                     p -> length(p))), -1) AS denied
+          FROM dedup_{r} d
+          LEFT JOIN budk_{r} b USING (host)
+          LEFT JOIN robots rb USING (host)
+          JOIN ties t ON t.url = d.url),
+        rank_{r} AS (
+          SELECT *, row_number() OVER (PARTITION BY host
+                   ORDER BY priority DESC, tie ASC, url ASC) AS rnk
+          FROM flag_{r} WHERE NOT COALESCE(denied, false) AND k > 0),
+        sched_{r} AS (SELECT * FROM rank_{r} WHERE rnk <= k),
+        out_{r} AS (
+          SELECT {r} AS round,
+                 CAST(row_number() OVER (ORDER BY host, rnk) - 1 AS INT)
+                   AS position,
+                 url, host, depth
+          FROM sched_{r}),
+        cand_{r + 1} AS (
+          SELECT ds.s.media_ref AS url, CAST(b.depth + 1 AS INT) AS depth
+          FROM sched_{r} b JOIN docspans ds ON ds.doc_id = b.url
+          WHERE ds.s.kind = 'link' AND ds.s.media_ref IS NOT NULL),
+        seen_{r + 1} AS (
+          SELECT url FROM seen_{r} UNION ALL SELECT url FROM sched_{r}),
+        f_{r + 1} AS (
+          SELECT url, host, depth, link_count, round_added FROM flag_{r}
+          WHERE NOT COALESCE(denied, false)
+            AND url NOT IN (SELECT url FROM sched_{r})),
+        active_{r} AS (SELECT DISTINCT host FROM dedup_{r}),
+        cred_{r + 1} AS (
+          SELECT host, credit FROM cred_{r}
+          WHERE host NOT IN (SELECT host FROM active_{r})
+          UNION ALL
+          SELECT a.host,
+                 COALESCE(b.credit0, 10.0)
+                   - COALESCE(sc.n, 0) * COALESCE(b.delay, 1.0) AS credit
+          FROM active_{r} a
+          LEFT JOIN budk_{r} b USING (host)
+          LEFT JOIN (SELECT host, count(*) AS n FROM sched_{r} GROUP BY 1) sc
+            USING (host)),
+        """)
+    unions = " UNION ALL ".join(f"SELECT * FROM out_{r}" for r in range(n_rounds))
+    sql.append(f"final AS ({unions}) SELECT round, position, url, host, depth FROM final")
+    return "\n".join(sql)
+
+
 def _ensure_doc_draws() -> str:
     """Precompute the D2 doc-downsample draw per document of the oracle
     sf into a tiny parquet (the judge-sanctioned pattern for the
@@ -1092,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
 
     mh_fx = sx.ensure_shingle_hashes(_oracle_sf())
     ivf_fx = sx.ensure_ivf_fixture(_oracle_sf())
+    import pathlib as _pl
+
+    _fd_dir = str(_pl.Path(fx).parent)
+    crawl_ties = sx.ensure_crawl_ties(_fd_dir)
     mh_params = _minhash_params_sql()
     # shared unsigned shingle-hash CTE for the minhash/simhash oracles
     sketch_hu = f"""
@@ -1658,6 +1787,70 @@ def oracle_sql() -> dict[str, str]:
         + _canon_cte("ref", key_cols="rid", src="links", lead="")
         + """
             SELECT host_out AS host, count(*) AS inlinks FROM canon GROUP BY 1
+        """,
+        # the FULL 3-round crawl, unrolled round-by-round in SQL (see
+        # _multiround_oracle_sql) — schedule order, positions, seen-set,
+        # frontier and credit feedback all recomputed independently.
+        "crawl_multiround": _multiround_oracle_sql(_fd_dir, crawl_ties, 3),
+        # OPIC oracle: the 2-round cash propagation UNROLLED into chained
+        # CTEs (fixed n_rounds makes the iteration SQL-expressible) —
+        # same float op order as kb.opic_scores (uniform computed as
+        # ((1-d)*total + d*dangling)/n, inflow as cash*d/outdeg); the
+        # 8-decimal round absorbs summation-order noise.
+        "opic_scores": "WITH links AS ("
+        "  SELECT d.doc_id AS src, s.media_ref AS ref,"
+        "         row_number() OVER () AS rid"
+        f"  FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{fx}')) d"
+        "  WHERE s.kind = 'link' AND s.media_ref IS NOT NULL), "
+        + _canon_cte("ref", key_cols="rid, src", src="links", lead="")
+        + """
+            , edges AS (SELECT src, url AS dst FROM canon),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges) t),
+            outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+            params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+            r0 AS (
+              SELECT node, 1.0 / (SELECT n FROM params) AS cash, 0.0 AS history
+              FROM nodes),
+            f0 AS (
+              SELECT r.node, r.cash, r.history, COALESCE(o.outdeg, 0) AS outdeg
+              FROM r0 r LEFT JOIN outdeg o ON o.src = r.node),
+            t0 AS (
+              SELECT e.dst AS node, sum(f.cash * 0.85 / f.outdeg) AS inflow
+              FROM f0 f JOIN edges e ON e.src = f.node
+              WHERE f.outdeg > 0 GROUP BY 1),
+            a0 AS (
+              SELECT sum(cash) AS total,
+                     sum(CASE WHEN outdeg = 0 THEN cash ELSE 0.0 END) AS dangling
+              FROM f0),
+            r1 AS (
+              SELECT f.node,
+                     COALESCE(t.inflow, 0.0)
+                       + ((1.0 - 0.85) * a.total + 0.85 * a.dangling)
+                         / (SELECT n FROM params) AS cash,
+                     f.history + f.cash AS history
+              FROM f0 f LEFT JOIN t0 t USING (node) CROSS JOIN a0 a),
+            f1 AS (
+              SELECT r.node, r.cash, r.history, COALESCE(o.outdeg, 0) AS outdeg
+              FROM r1 r LEFT JOIN outdeg o ON o.src = r.node),
+            t1 AS (
+              SELECT e.dst AS node, sum(f.cash * 0.85 / f.outdeg) AS inflow
+              FROM f1 f JOIN edges e ON e.src = f.node
+              WHERE f.outdeg > 0 GROUP BY 1),
+            a1 AS (
+              SELECT sum(cash) AS total,
+                     sum(CASE WHEN outdeg = 0 THEN cash ELSE 0.0 END) AS dangling
+              FROM f1),
+            r2 AS (
+              SELECT f.node,
+                     COALESCE(t.inflow, 0.0)
+                       + ((1.0 - 0.85) * a.total + 0.85 * a.dangling)
+                         / (SELECT n FROM params) AS cash,
+                     f.history + f.cash AS history
+              FROM f1 f LEFT JOIN t1 t USING (node) CROSS JOIN a1 a)
+            SELECT node, round(history + cash, 8) AS history FROM r2
         """,
         "w2v_lines": f"""
             WITH r AS (

@@ -140,3 +140,34 @@ def ensure_ivf_fixture(
             paths["probes"],
         )
     return {k: str(v) for k, v in paths.items()}
+
+
+def ensure_crawl_ties(fixture_dir) -> str:
+    """(url, tie) parquet for every canonical url the multi-round crawl
+    can ever schedule (seeds ∪ document outlinks), from the pure-Python
+    twins (urlnorm.canonicalize_py + the D1 draw — both golden-tested
+    against the Spark kernels). The tie draw is sha1-based and DuckDB
+    has no sha1, so the multiround oracle reads this fixture and
+    recomputes everything else in SQL."""
+    import pathlib as _pl
+
+    from cc_dbp_spark.functions.parity import pseudo_random_from_string
+    from cc_dbp_spark.functions.urlnorm import canonicalize_py
+
+    fd = _pl.Path(fixture_dir)
+    out = fd / "crawl_ties.parquet"
+    if not out.exists():
+        urls = set()
+        seeds = pq.read_table(fd / "seeds.parquet", columns=["url"])
+        urls.update(seeds.column("url").to_pylist())
+        docs = pq.read_table(fd / "documents_spans.parquet", columns=["spans"])
+        for spans in docs.column("spans").to_pylist():
+            for s in spans or []:
+                if s.get("kind") == "link" and s.get("media_ref"):
+                    urls.add(s["media_ref"])
+        canon = sorted({canonicalize_py(u) for u in urls})
+        ties = pseudo_random_from_string(canon)
+        pq.write_table(
+            pa.table({"url": canon, "tie": ties}), out
+        )
+    return str(out)
