@@ -1017,11 +1017,12 @@ def _multiround_oracle_sql(fd: str, ties_path: str, n_rounds: int = 3) -> str:
             chunk = _re.sub(rf"\b{name}\b", f"{name}_{r}", chunk)
         return chunk
 
+    # path INCLUDING query (RFC-9309 match string; urlnorm.pathq_col)
     path_of = (
-        "CASE WHEN regexp_replace(regexp_replace(d.url,"
-        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', ''), '\\?.*$', '') = '' THEN '/'"
-        " ELSE regexp_replace(regexp_replace(d.url,"
-        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', ''), '\\?.*$', '') END"
+        "CASE WHEN regexp_replace(d.url,"
+        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', '') = '' THEN '/'"
+        " ELSE regexp_replace(d.url,"
+        " '^[a-z][a-z0-9+.\\-]*://[^/?]*', '') END"
     )
     sql = [
         f"WITH ties AS (SELECT url, tie FROM read_parquet('{ties_path}')),",

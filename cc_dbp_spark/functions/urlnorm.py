@@ -192,6 +192,18 @@ def host_col(canon_url: Column) -> Column:
     return F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
 
 
+def pathq_col(canon_url: Column) -> Column:
+    """Path INCLUDING the query of an already-canonical URL — the string
+    RFC-9309 rule matching operates on (a robots pattern may constrain
+    query components, e.g. ``Disallow: /*?download=1$``)."""
+    rest = canon_url.substr(
+        F.length(F.substring_index(canon_url, "://", 1)) + 4, F.lit(_BIG)
+    )
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    pathq = rest.substr(F.length(hostport) + 1, F.lit(_BIG))
+    return F.when(pathq == "", F.lit("/")).otherwise(pathq)
+
+
 def path_col(canon_url: Column) -> Column:
     """Path (no query) of an already-canonical URL."""
     rest = canon_url.substr(

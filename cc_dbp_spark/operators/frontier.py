@@ -55,7 +55,7 @@ from pyspark.sql.types import DoubleType
 
 from cc_dbp_spark.functions import parity
 from cc_dbp_spark.functions.priority import priority_score
-from cc_dbp_spark.functions.urlnorm import host_col, path_col, with_canonical
+from cc_dbp_spark.functions.urlnorm import host_col, pathq_col, with_canonical
 from cc_dbp_spark.operators import filters as flt
 
 
@@ -318,22 +318,35 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
     """df (must carry url + host) + a ``denied`` flag. Robots is per-host
     metadata -> broadcast join; prefix tests are native array exists."""
     cols = df.columns
-    j = df.withColumn("__path", path_col(F.col("url"))).join(
+    # RFC-9309 matches against path INCLUDING query (rules like
+    # '/*?download=1$' constrain query components)
+    j = df.withColumn("__path", pathq_col(F.col("url"))).join(
         F.broadcast(robots), "host", "left"
     )
 
-    # RFC-9309 longest-match: the most specific (longest) matching prefix
+    # RFC-9309 longest-match: the most specific (longest) matching rule
     # among deny+allow decides; ties go to allow; matching neither list
-    # (or no robots row at all) -> allowed. Pure-Python twin:
-    # robots.is_allowed. Native: longest matching prefix length per list.
+    # (or no robots row at all) -> allowed. Rules may carry the REP
+    # wildcards `*` (any run) and trailing `$` (end anchor) — matched
+    # natively by translating each pattern to SQL LIKE per row (escape
+    # LIKE metachars, `*` -> `%`, `$` -> drop the trailing `%`).
+    # Pure-Python twin: robots.is_allowed / robots._rule_matches.
     def longest(col_name: str):
+        def matches(p):
+            esc = F.replace(p, F.lit("\\"), F.lit("\\\\"))
+            esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
+            esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
+            esc = F.replace(esc, F.lit("*"), F.lit("%"))
+            pat = F.when(
+                esc.endswith("$"), F.substring(esc, F.lit(1), F.length(esc) - 1)
+            ).otherwise(F.concat(esc, F.lit("%")))
+            return F.like(F.col("__path"), pat, F.lit("\\"))
+
         return F.coalesce(
             F.array_max(
                 F.transform(
                     F.col(col_name),
-                    lambda p: F.when(
-                        F.col("__path").startswith(p), F.length(p)
-                    ).otherwise(F.lit(-1)),
+                    lambda p: F.when(matches(p), F.length(p)).otherwise(F.lit(-1)),
                 )
             ),
             F.lit(-1),

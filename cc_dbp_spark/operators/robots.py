@@ -106,13 +106,26 @@ def parse_robots_body(body: str, agent: str = "ccdbp") -> dict:
     }
 
 
+def _rule_matches(path: str, pattern: str) -> bool:
+    """RFC-9309 rule matching incl. the `*` (any run) and trailing `$`
+    (end anchor) wildcards; a plain pattern is a prefix match."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(_re.escape(seg) for seg in body.split("*"))
+    rx = rx + "$" if anchored else rx + ".*"
+    return _re.match(rx, path) is not None
+
+
 def is_allowed(path: str, deny_prefixes: list[str], allow_prefixes: list[str]) -> bool:
     """RFC-9309 longest-match rule evaluation (pure-Python twin of the
     scheduler's native expression in ``frontier._with_denied``): the
-    longest matching prefix wins; equal lengths -> allow; no match on
-    either list -> allowed."""
-    best_deny = max((len(d) for d in deny_prefixes or [] if path.startswith(d)), default=-1)
-    best_allow = max((len(a) for a in allow_prefixes or [] if path.startswith(a)), default=-1)
+    most specific (longest, by pattern octet length) matching rule
+    wins; equal lengths -> allow; no match on either list -> allowed.
+    Patterns may carry `*` and trailing `$` wildcards."""
+    best_deny = max((len(d) for d in deny_prefixes or [] if _rule_matches(path, d)), default=-1)
+    best_allow = max((len(a) for a in allow_prefixes or [] if _rule_matches(path, a)), default=-1)
     return best_allow >= best_deny
 
 

@@ -74,3 +74,67 @@ def test_spark_parse_feeds_scheduler_join(spark):
         want = rb.parse_robots_body(body, agent="ccdbp")
         assert got[host]["deny_prefixes"] == want["deny_prefixes"]
         assert got[host]["allow_prefixes"] == want["allow_prefixes"]
+
+
+def test_rule_matches_wildcards():
+    """RFC-9309 `*` / trailing `$` wildcard matching (pure kernel)."""
+    m = rb._rule_matches
+    assert m("/private/ok/x", "/private/")
+    assert m("/a/b.pdf", "/a/*.pdf")
+    assert m("/a/deep/x.pdf", "/a/*.pdf")      # * spans path segments
+    assert not m("/a/b.pdfx", "/a/*.pdf$")     # anchored
+    assert m("/a/b.pdf", "/a/*.pdf$")
+    assert m("/x", "/*")
+    assert not m("/other", "/a*")
+    assert m("/exact", "/exact$")
+    assert not m("/exact/more", "/exact$")
+
+
+def test_is_allowed_wildcard_specificity():
+    # longer (more specific, by octet length) allow overrides the deny
+    assert rb.is_allowed("/files/ok.pdf", ["/files/*.pdf"], ["/files/ok*.pdf"])
+    # the shorter allow loses to the longer wildcard deny
+    assert not rb.is_allowed("/files/ok.pdf", ["/files/*.pdf"], ["/files/ok*"])
+    # and the wildcard deny wins where the allow doesn't match at all
+    assert not rb.is_allowed("/files/no.pdf", ["/files/*.pdf"], ["/files/ok*.pdf"])
+
+
+def test_spark_denied_matches_python_twin_with_wildcards(spark):
+    """Differential: frontier._with_denied's native LIKE translation ==
+    robots.is_allowed on a grid of wildcard patterns x paths."""
+    from pyspark.sql import functions as F
+
+    from cc_dbp_spark.operators import frontier as fr
+
+    rules = [
+        (["/private/"], ["/private/ok/"]),
+        (["/a/*.pdf"], ["/a/ok*"]),
+        (["/*?download=1$"], []),
+        (["/x$"], []),
+        (["/"], ["/pub*"]),
+        ([], []),
+    ]
+    paths = [
+        "/", "/private/ok/x", "/private/no", "/a/b.pdf", "/a/ok.pdf",
+        "/a/deep/c.pdf", "/file?download=1", "/file?download=12",
+        "/x", "/x/y", "/pub/z", "/other_thing", "/100%guide",
+    ]
+    rows, want = [], {}
+    for i, (deny, allow) in enumerate(rules):
+        host = f"h{i}"
+        rows.append((host, allow, deny, 1.0))
+        for j, p in enumerate(paths):
+            want[(host, f"http://{host}.ex{p}")] = not rb.is_allowed(p, deny, allow)
+    robots_df = spark.createDataFrame(
+        rows,
+        "host string, allow_prefixes array<string>, deny_prefixes array<string>,"
+        " crawl_delay_s double",
+    )
+    urls = spark.createDataFrame(
+        [(u, h) for (h, u) in want], "url string, host string"
+    )
+    got = {
+        (r.host, r.url): r.denied
+        for r in fr._with_denied(urls, robots_df).collect()
+    }
+    assert got == want
