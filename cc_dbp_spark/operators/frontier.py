@@ -318,21 +318,18 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
     """df (must carry url + host) + a ``denied`` flag. Robots is per-host
     metadata -> broadcast join; prefix tests are native array exists."""
     cols = df.columns
-    # RFC-9309 matches against path INCLUDING query (rules like
-    # '/*?download=1$' constrain query components)
-    j = df.withColumn("__path", pathq_col(F.col("url"))).join(
-        F.broadcast(robots), "host", "left"
-    )
-
-    # RFC-9309 longest-match: the most specific (longest) matching rule
-    # among deny+allow decides; ties go to allow; matching neither list
-    # (or no robots row at all) -> allowed. Rules may carry the REP
-    # wildcards `*` (any run) and trailing `$` (end anchor) — matched
-    # natively by translating each pattern to SQL LIKE per row (escape
-    # LIKE metachars, `*` -> `%`, `$` -> drop the trailing `%`).
-    # Pure-Python twin: robots.is_allowed / robots._rule_matches.
-    def longest(col_name: str):
-        def matches(p):
+    # RFC-9309 longest-match: the most specific (longest, by pattern
+    # octet length) matching rule among deny+allow decides; ties go to
+    # allow; matching neither list (or no robots row at all) -> allowed.
+    # Rules may carry the REP wildcards `*` (any run) and trailing `$`
+    # (end anchor): each pattern translates to SQL LIKE (metachars
+    # escaped, `*` -> `%`, `$` drops the implicit trailing `%`) ON THE
+    # ROBOTS SIDE of the broadcast — once per rule, not once per
+    # frontier row; the per-row work is the LIKE itself. Matching runs
+    # against path INCLUDING query, as RFC-9309 requires. Pure-Python
+    # twin: robots.is_allowed / robots._rule_matches.
+    def _like_rules(col_name: str):
+        def to_struct(p):
             esc = F.replace(p, F.lit("\\"), F.lit("\\\\"))
             esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
             esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
@@ -340,19 +337,33 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
             pat = F.when(
                 esc.endswith("$"), F.substring(esc, F.lit(1), F.length(esc) - 1)
             ).otherwise(F.concat(esc, F.lit("%")))
-            return F.like(F.col("__path"), pat, F.lit("\\"))
+            return F.struct(pat.alias("pat"), F.length(p).alias("len"))
 
+        return F.transform(F.col(col_name), to_struct)
+
+    rb = robots.select(
+        "host",
+        _like_rules("allow_prefixes").alias("__allow"),
+        _like_rules("deny_prefixes").alias("__deny"),
+    )
+    j = df.withColumn("__path", pathq_col(F.col("url"))).join(
+        F.broadcast(rb), "host", "left"
+    )
+
+    def longest(col_name: str):
         return F.coalesce(
             F.array_max(
                 F.transform(
                     F.col(col_name),
-                    lambda p: F.when(matches(p), F.length(p)).otherwise(F.lit(-1)),
+                    lambda s: F.when(
+                        F.like(F.col("__path"), s["pat"], F.lit("\\")), s["len"]
+                    ).otherwise(F.lit(-1)),
                 )
             ),
             F.lit(-1),
         )
 
-    denied_expr = longest("deny_prefixes") > longest("allow_prefixes")
+    denied_expr = longest("__deny") > longest("__allow")
     return j.withColumn("denied", denied_expr).select(*cols, "denied")
 
 
