@@ -411,7 +411,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides would each re-run the signature UDF otherwise
     sigs = dedup.minhash_signatures(d, num_hashes=64).localCheckpoint(eager=True)
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
-    sim = dedup.minhash_similarity(cand, sigs)
+    sim = dedup.minhash_similarity(cand, sigs, broadcast=True)
     return sim.filter(F.col("est_jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
@@ -803,9 +803,18 @@ def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     vocab = wc.select("word", (F.row_number().over(wv) - 1).alias("widx"))
     t = mentions.encode_tensor_rows(rows, vocab, max_pos=64)
+
+    # the driver's canonicalizer sorts/hashes with pandas, which cannot
+    # handle list cells — serialize the int arrays to comma-joined
+    # strings (same on the oracle side; values unchanged, presentation
+    # made hashable)
+    def _s(c: str):
+        return F.concat_ws(",", F.col(c).cast("array<string>")).alias(c)
+
     return t.select(
-        "id1", "id2", "chunk", "positive", "words", "pos1", "pos2",
-        "pool_starts", "pool_ends", "sent_starts",
+        "id1", "id2", "chunk", "positive",
+        _s("words"), _s("pos1"), _s("pos2"),
+        _s("pool_starts"), _s("pool_ends"), _s("sent_starts"),
     )
 
 
@@ -1775,10 +1784,16 @@ def oracle_sql() -> dict[str, str]:
                      list(sz ORDER BY sent_ndx) AS sizes
               FROM persent GROUP BY 1, 2, 3
             )
-            SELECT id1, id2, chunk, positive, words, pos1, pos2,
-                   pool_starts, pool_ends,
-                   list_transform(range(0, len(sizes)),
-                     i -> CAST(COALESCE(list_sum(sizes[1:i]), 0) AS INT)) AS sent_starts
+            SELECT id1, id2, chunk, positive,
+                   COALESCE(array_to_string(words, ','), '') AS words,
+                   COALESCE(array_to_string(pos1, ','), '') AS pos1,
+                   COALESCE(array_to_string(pos2, ','), '') AS pos2,
+                   COALESCE(array_to_string(pool_starts, ','), '') AS pool_starts,
+                   COALESCE(array_to_string(pool_ends, ','), '') AS pool_ends,
+                   COALESCE(array_to_string(
+                     list_transform(range(0, len(sizes)),
+                       i -> CAST(COALESCE(list_sum(sizes[1:i]), 0) AS INT)),
+                     ','), '') AS sent_starts
             FROM perchunk
         """,
         "outlinks": "WITH links AS ("
@@ -1889,12 +1904,14 @@ def oracle_sql() -> dict[str, str]:
                        s -> s.offset) AS poffs
               FROM read_parquet('{fx}'))
             SELECT count(*) AS n_docs,
-                   sum(CASE WHEN offs = list_sort(offs) THEN 1 ELSE 0 END) AS n_sorted,
+                   CAST(sum(CASE WHEN offs = list_sort(offs) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sorted,
                    'raw' AS stage
             FROM chk
             UNION ALL
             SELECT count(*),
-                   sum(CASE WHEN poffs = list_sort(poffs) THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN poffs = list_sort(poffs) THEN 1 ELSE 0 END)
+                        AS BIGINT),
                    'kind_projected'
             FROM chk
         """,
@@ -1916,7 +1933,8 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY 1, 2
             )
             SELECT d.split, count(*) AS n_groups,
-                   sum(CASE WHEN g.positive THEN 1 ELSE 0 END) AS n_positive
+                   CAST(sum(CASE WHEN g.positive THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_positive
             FROM groups g JOIN draws d USING (id1, id2)
             GROUP BY 1
         """,

@@ -273,6 +273,19 @@ def path_py(canon_url: str) -> str:
     return p if p else "/"
 
 
+def pathq_py(canon_url: str) -> str:
+    """Path INCLUDING the query — pure-Python twin of ``pathq_col``
+    (the string robots rule matching operates on; a pattern like
+    ``Disallow: /*?download=1$`` constrains the query)."""
+    i = canon_url.find("://")
+    if i < 0:
+        return "/"
+    rest = canon_url[i + 3:]
+    hostport = rest.split("/", 1)[0].split("?", 1)[0]
+    pq = rest[len(hostport):]
+    return pq if pq else "/"
+
+
 # ---------------------------------------------------------------- xxhash64
 
 _P1 = np.uint64(0x9E3779B185EBCA87)

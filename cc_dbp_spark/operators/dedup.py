@@ -123,12 +123,81 @@ def minhash_signatures(
     return _spread(docs).select(F.col(id_col), mh(hashed).alias("sig"))
 
 
+def _capped_bucket_pairs(
+    b: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    payload: str | None = None,
+) -> DataFrame:
+    """Self-join (id, *keys) rows within each bucket, id_a < id_b — with a
+    skew guard: buckets holding more than ``max_bucket`` members are NOT
+    self-joined (that clique is quadratic in the degenerate case —
+    boilerplate-identical shards, empty docs). Instead each oversized
+    bucket emits a star: every member pairs with the bucket's min-id
+    representative, O(n) rows, which preserves the connected component
+    for dedup while bounding candidate count. Downstream exact verifiers
+    (est_jaccard / hamming / shingle Jaccard) still score every emitted
+    pair. Reference pattern: the gsplits hot-key split
+    (RelexTsvDataset.java:100-118)."""
+    from pyspark.sql.window import Window
+
+    if max_bucket is None:
+        small, big = b, None
+    else:
+        w = Window.partitionBy(*keys)
+        b = b.withColumn("__sz", F.count("*").over(w))
+        small = b.filter(F.col("__sz") <= max_bucket).drop("__sz")
+        big = b.filter(F.col("__sz") > max_bucket).drop("__sz")
+
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    out_cols = [
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    ]
+    if payload is not None:
+        out_cols += [
+            F.col(f"l.{payload}").alias(f"{payload}_a"),
+            F.col(f"r.{payload}").alias(f"{payload}_b"),
+        ]
+    pairs = small.alias("l").join(small.alias("r"), cond).select(*out_cols)
+    if big is not None:
+        pcols = [id_col] + ([payload] if payload is not None else [])
+        rep = big.groupBy(*keys).agg(
+            F.min(F.struct(*pcols)).alias("__rep")  # min by id (ids distinct)
+        )
+        star_cols = [
+            F.col("__rep")[id_col].alias("id_a"), F.col(id_col).alias("id_b")
+        ]
+        if payload is not None:
+            star_cols += [
+                F.col("__rep")[payload].alias(f"{payload}_a"),
+                F.col(payload).alias(f"{payload}_b"),
+            ]
+        star = (
+            big.join(rep, keys)
+            .filter(F.col(id_col) != F.col("__rep")[id_col])
+            .select(*star_cols)
+        )
+        pairs = pairs.unionByName(star)
+    return pairs
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """LSH banding: pairs sharing >=1 band bucket. Returns (id_a, id_b,
     n_shared_bands). Classic band->bucket->self-join; the join key is
-    (band, hash-of-rows) so co-bucketed docs collide in the shuffle."""
+    (band, hash-of-rows) so co-bucketed docs collide in the shuffle.
+    Buckets over ``max_bucket`` members are star-linked instead of
+    self-joined (skew guard — see :func:`_capped_bucket_pairs`)."""
     assert bands * rows_per_band <= 1024
     # the signature UDF would otherwise re-run once per self-join branch
     sigs = sigs.localCheckpoint(eager=True)
@@ -151,29 +220,29 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    left = b.alias("l")
-    right = b.alias("r")
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        _capped_bucket_pairs(b, ["band", "bucket"], id_col, max_bucket)
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
 
-def minhash_similarity(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_similarity(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    broadcast: bool | None = None,
+) -> DataFrame:
     """Estimated Jaccard = fraction of equal signature slots per pair.
 
-    Signatures are ~0.5KB/doc, so up to ~10^5 docs both lookup joins
-    broadcast (shuffle-free); beyond that AQE falls back to shuffle
-    joins, which is the right plan once sigs outgrow executor memory."""
+    ``broadcast``: True hints both signature lookup joins broadcast
+    (right when sigs is small — ~0.5KB/doc, fine up to ~10^5 docs);
+    False/None leaves the strategy to Catalyst/AQE. The caller decides —
+    embedding a ``sigs.count()`` action here would re-run the signature
+    UDF pass for callers that did not materialize ``sigs``."""
     s1 = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     s2 = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    if sigs.count() <= 100_000:
+    if broadcast:
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
     j = pairs.join(s1, "id_a").join(s2, "id_b")
     eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
@@ -211,11 +280,20 @@ def simhash(
     return _spread(docs).select(F.col(id_col), sh(shingled).alias("simhash"))
 
 
-def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming, via the
     block-rotation trick: split 64 bits into (max_hamming+1) blocks; any
     pair within distance shares >=1 exact block -> equi-join per block,
-    then exact popcount filter. No cartesian product."""
+    then exact popcount filter. No cartesian product. Block-value groups
+    over ``max_bucket`` members are star-linked instead of self-joined
+    (skew guard — see :func:`_capped_bucket_pairs`; under the cap, a
+    degenerate group of near-identical docs links through its min-id
+    representative rather than emitting the quadratic clique)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = []
@@ -228,17 +306,10 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
     withb = sim.select(F.col(id_col), F.col("simhash"), *blocks).localCheckpoint(eager=True)
     pairs = None
     for i in range(nblocks):
-        l, r = withb.alias("l"), withb.alias("r")
-        cand = l.join(
-            r,
-            (F.col(f"l.b{i}") == F.col(f"r.b{i}"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("h_a"),
-            F.col("r.simhash").alias("h_b"),
-        )
+        cand = _capped_bucket_pairs(
+            withb.select(F.col(id_col), F.col("simhash"), F.col(f"b{i}")),
+            [f"b{i}"], id_col, max_bucket, payload="simhash",
+        ).withColumnsRenamed({"simhash_a": "h_a", "simhash_b": "h_b"})
         pairs = cand if pairs is None else pairs.unionByName(cand)
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (

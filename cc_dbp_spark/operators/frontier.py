@@ -322,12 +322,16 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
     # octet length) matching rule among deny+allow decides; ties go to
     # allow; matching neither list (or no robots row at all) -> allowed.
     # Rules may carry the REP wildcards `*` (any run) and trailing `$`
-    # (end anchor): each pattern translates to SQL LIKE (metachars
-    # escaped, `*` -> `%`, `$` drops the implicit trailing `%`) ON THE
-    # ROBOTS SIDE of the broadcast — once per rule, not once per
-    # frontier row; the per-row work is the LIKE itself. Matching runs
-    # against path INCLUDING query, as RFC-9309 requires. Pure-Python
-    # twin: robots.is_allowed / robots._rule_matches.
+    # (end anchor). Wildcard-free rules (the overwhelmingly common case)
+    # evaluate as a plain StartsWith — a direct UTF8String prefix
+    # compare, no pattern machinery at all. Only wildcard-bearing rules
+    # go through SQL LIKE (metachars escaped, `*` -> `%`, `$` drops the
+    # implicit trailing `%`); NOTE the LIKE pattern reaches the row as a
+    # non-foldable column, so Spark compiles its regex per evaluation —
+    # acceptable because only the rare wildcard rules pay it. The
+    # translation itself runs once per rule on the broadcast (robots)
+    # side. Matching runs against path INCLUDING query, as RFC-9309
+    # requires. Pure-Python twin: robots.is_allowed / robots._rule_matches.
     def _like_rules(col_name: str):
         def to_struct(p):
             esc = F.replace(p, F.lit("\\"), F.lit("\\\\"))
@@ -337,7 +341,11 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
             pat = F.when(
                 esc.endswith("$"), F.substring(esc, F.lit(1), F.length(esc) - 1)
             ).otherwise(F.concat(esc, F.lit("%")))
-            return F.struct(pat.alias("pat"), F.length(p).alias("len"))
+            wild = p.contains("*") | p.endswith("$")
+            return F.struct(
+                pat.alias("pat"), F.length(p).alias("len"),
+                p.alias("raw"), wild.alias("wild"),
+            )
 
         return F.transform(F.col(col_name), to_struct)
 
@@ -356,7 +364,9 @@ def _with_denied(df: DataFrame, robots: DataFrame) -> DataFrame:
                 F.transform(
                     F.col(col_name),
                     lambda s: F.when(
-                        F.like(F.col("__path"), s["pat"], F.lit("\\")), s["len"]
+                        F.when(s["wild"], F.like(F.col("__path"), s["pat"], F.lit("\\")))
+                        .otherwise(F.col("__path").startswith(s["raw"])),
+                        s["len"],
                     ).otherwise(F.lit(-1)),
                 )
             ),

@@ -114,8 +114,11 @@ def _rule_matches(path: str, pattern: str) -> bool:
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
     rx = ".*".join(_re.escape(seg) for seg in body.split("*"))
-    rx = rx + "$" if anchored else rx + ".*"
-    return _re.match(rx, path) is not None
+    # DOTALL + \Z so `*` spans newlines and the anchor is exact, matching
+    # the Spark-side LIKE translation (`%` spans every char; LIKE anchors
+    # at the true end of string, not before a trailing '\n')
+    rx = rx + r"\Z" if anchored else rx
+    return _re.match(rx, path, _re.DOTALL) is not None
 
 
 def is_allowed(path: str, deny_prefixes: list[str], allow_prefixes: list[str]) -> bool:

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 
 from cc_dbp_spark.functions.parity import pseudo_random_from_string
 from cc_dbp_spark.functions.priority import priority_score
-from cc_dbp_spark.functions.urlnorm import canonicalize_py, host_py, path_py
+from cc_dbp_spark.functions.urlnorm import canonicalize_py, host_py, pathq_py
 from cc_dbp_spark.operators.robots import is_allowed as robots_allowed
 
 
@@ -59,7 +59,8 @@ class OracleState:
 
 
 def _allowed(url: str, rules: dict) -> bool:
-    host, path = host_py(url), path_py(url)
+    # match on path INCLUDING query, mirroring the engine's pathq_col
+    host, path = host_py(url), pathq_py(url)
     rule = rules.get(host)
     if rule is None:
         return True

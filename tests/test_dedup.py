@@ -171,3 +171,44 @@ def test_embedding_near_dups(spark):
         va, vb = vecs[a], vecs[b]
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert cos >= 0.99 - 1e-6
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """Adversarial all-identical corpus: every doc lands in the same LSH
+    bucket in every band. Uncapped, candidates are the full clique
+    (n*(n-1)/2); with the cap the degenerate bucket star-links through
+    its min-id representative — O(n) candidates, component preserved."""
+    n = 40
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "the same boilerplate text repeated verbatim here") for i in range(n)],
+        "doc_id string, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=64).localCheckpoint(eager=True)
+
+    capped = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=8)
+    rows = capped.collect()
+    # star: exactly n-1 pairs, all anchored at the min id
+    assert len(rows) == n - 1
+    assert {r.id_a for r in rows} == {"d000"}
+    assert {r.id_b for r in rows} == {f"d{i:03d}" for i in range(1, n)}
+    # every band contributed: the star pair is counted once per band
+    assert all(r.n_shared_bands == 16 for r in rows)
+
+    uncapped = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    n = 40
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "the same boilerplate text repeated verbatim here") for i in range(n)],
+        "doc_id string, text string",
+    )
+    sim = dedup.simhash(docs)
+    capped = dedup.simhash_near_dups(sim, max_hamming=3, max_bucket=8)
+    rows = capped.collect()
+    assert len(rows) == n - 1
+    assert {r.id_a for r in rows} == {"d000"}
+    assert all(r.hamming == 0 for r in rows)
+    uncapped = dedup.simhash_near_dups(sim, max_hamming=3, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2

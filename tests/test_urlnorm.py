@@ -103,6 +103,21 @@ def test_host_path_extraction(spark):
         assert r.p == urlnorm.path_py(u), u
 
 
+def test_pathq_twin_matches_column(spark):
+    """pathq_py (the robots-matching path+query twin used by the crawl
+    oracle) must agree with pathq_col on every canonical URL, including
+    query-only, no-path, and port-bearing forms."""
+    extra = [
+        "http://h.ex/?x=1", "http://h.ex/a/b?x=1&y=2", "http://h.ex",
+        "http://h.ex:8080/p?q", "http://h.ex/p/", "http://h.ex?bare=q",
+    ]
+    urls = [urlnorm.canonicalize_py(u) for u in CASES + extra + _random_urls(100, seed=21)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(urlnorm.pathq_col(F.col("url")).alias("pq")).collect()
+    for u, r in zip(urls, rows):
+        assert r.pq == urlnorm.pathq_py(u), u
+
+
 def test_xxhash64_matches_spark(spark):
     strs = CASES + _random_urls(100, seed=11) + ["", "a", "0123456789abcdef0123456789abcdef-long-tail"]
     df = spark.createDataFrame([(s,) for s in strs], "s string")
