@@ -595,7 +595,9 @@ def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sents = mentions.sentences(d)
+    # P8 exact bounds (CreateTsvDataset.java:167-170, defaults
+    # RelexConfig.java:145-163): tokens in [2,100], chars in [2,400]
+    sents = mentions.sentence_bounds(mentions.sentences(d))
     pairs = mentions.mention_pairs(sents, GAZ_ENTRIES)
     triples = spark.createDataFrame(GT_TRIPLES, "arg1 string, rel string, arg2 string")
     return mentions.relation_join(pairs, triples)
@@ -629,6 +631,26 @@ def q_mention_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("split").agg(
         F.count("*").alias("n_groups"),
         F.sum(F.col("positive").cast("int")).alias("n_positive"),
+    )
+
+
+def q_mention_downsample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/A10 two-phase ratio-targeted negative downsample
+    (RelexTsvDataset.java:120-157): fixed-fraction pass, one group-level
+    count barrier, rescaled retain prob re-applied on the same D3 draw."""
+    lab = _mention_pipeline(spark, sf_dir)
+    kept, retain = mentions.downsample_negatives_to_ratio(
+        lab, sample_fraction=0.5, target_ratio=1.0
+    )
+    g = kept.groupBy("id1", "id2").agg(
+        F.max(F.col("is_positive").cast("int")).alias("pos")
+    )
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("pos").alias("n_positive"),
+    ).select(
+        "n_groups", "n_positive",
+        F.round(F.lit(retain), 6).alias("retain_prob"),
     )
 
 
@@ -875,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_pairs": q_mention_pairs,
         "mention_groups": q_mention_groups,
         "mention_downsample": q_mention_downsample,
+        "mention_downsample_ratio": q_mention_downsample_ratio,
         "w2v_lines": q_w2v_lines,
         "doc_split": q_doc_split,
         "span_invariant": q_span_invariant,
@@ -898,9 +921,15 @@ _TRIPLES_SQL = ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in GT_TRIPLES)
 
 # tokens with 1-based position and exact char offsets (single-space layout
 # verified by the Spark side's regex tokenizer on the same text)
-_MENTION_CTE = f"""
+# P8 sentence bounds: whitespace tokens in [2,100], chars in [2,400]
+# (applied by the mention pipeline; the raw gazetteer query is unbounded)
+_P8_BOUNDS_SQL = """
+    WHERE length(text) BETWEEN 2 AND 400
+      AND len(string_split(text, ' ')) BETWEEN 2 AND 100"""
+
+_MENTION_CTE_TMPL = f"""
   WITH sp AS (
-    SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    SELECT doc_id, text, string_split(text, ' ') AS w FROM documents__P8_BOUNDS__
   ),
   widx AS (
     SELECT doc_id, text, w, unnest(range(1, len(w) + 1)) AS ord FROM sp
@@ -957,6 +986,10 @@ _MENTION_CTE = f"""
     LEFT JOIN triples rv ON rv.arg1 = r.id2 AND rv.arg2 = r.id1
   )
 """
+
+# the mention pipeline applies P8; the raw gazetteer scan does not
+_MENTION_CTE = _MENTION_CTE_TMPL.replace("__P8_BOUNDS__", _P8_BOUNDS_SQL)
+_MENTION_CTE_UNBOUNDED = _MENTION_CTE_TMPL.replace("__P8_BOUNDS__", "")
 
 
 def _fixture_docs_path() -> str:
@@ -1546,7 +1579,7 @@ def oracle_sql() -> dict[str, str]:
                    0.5 AS crawl_delay_s
             FROM (SELECT DISTINCT source FROM documents)
         """,
-        "gazetteer_mentions": _MENTION_CTE + """
+        "gazetteer_mentions": _MENTION_CTE_UNBOUNDED + """
             SELECT doc_id, entity_id, cstart AS char_start, cend AS char_end
             FROM ment
         """,
@@ -1937,5 +1970,47 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_positive
             FROM groups g JOIN draws d USING (id1, id2)
             GROUP BY 1
+        """,
+        # two-phase retune: phase-1 fraction 0.5, target neg:pos ratio 1.0,
+        # tolerance 1.05; retain prob rescaled on the SAME D3 draw
+        # (RelexTsvDataset.java:120-157)
+        "mention_downsample_ratio": _MENTION_CTE + f"""
+            , draws(id1, id2, neg_draw, split) AS (VALUES {pair_draws}),
+            p1 AS (
+              SELECT l.* FROM labeled l JOIN draws d USING (id1, id2)
+              WHERE l.is_positive OR d.neg_draw < 0.5
+            ),
+            g1 AS (
+              SELECT id1, id2, bool_or(is_positive) AS positive
+              FROM p1 GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT count(*) AS total,
+                     CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END)
+                          AS BIGINT) AS npos
+              FROM g1
+            ),
+            rt AS (
+              SELECT CASE
+                WHEN npos <= 0 THEN 0.5
+                WHEN (total - npos) * 1.0 / npos > 1.05 * 1.0
+                  THEN 0.5 * (1.0 / ((total - npos) * 1.0 / npos))
+                ELSE 0.5 END AS p
+              FROM st
+            ),
+            kept AS (
+              SELECT l.* FROM labeled l JOIN draws d USING (id1, id2)
+              CROSS JOIN rt
+              WHERE l.is_positive OR d.neg_draw < rt.p
+            ),
+            g2 AS (
+              SELECT id1, id2, bool_or(is_positive) AS positive
+              FROM kept GROUP BY 1, 2
+            )
+            SELECT count(*) AS n_groups,
+                   CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_positive,
+                   round((SELECT p FROM rt), 6) AS retain_prob
+            FROM g2
         """,
     }

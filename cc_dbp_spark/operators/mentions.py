@@ -70,6 +70,26 @@ def sentences(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     ).filter(F.col("sentence") != "")
 
 
+def sentence_bounds(
+    sents: DataFrame,
+    sent_col: str = "sentence",
+    min_tokens: int = 2,
+    max_tokens: int = 100,
+    min_chars: int = 2,
+    max_chars: int = 400,
+) -> DataFrame:
+    """P8 exact sentence-bounds predicate (CreateTsvDataset.java:167-170):
+    keep sentences with whitespace-token count in [min_tokens, max_tokens]
+    and char length in [min_chars, max_chars]. Defaults are the
+    reference's (RelexConfig.java:145-163: 2/100 tokens, 2/400 chars);
+    whitespace tokens stand in for the reference's Token annotations."""
+    ntok = F.size(F.split(F.col(sent_col), " "))
+    nch = F.length(F.col(sent_col))
+    return sents.filter(
+        ntok.between(min_tokens, max_tokens) & nch.between(min_chars, max_chars)
+    )
+
+
 def entity_mentions(sents: DataFrame, entries) -> DataFrame:
     """Gazetteer matches per sentence: (doc_id, sent_id, entity_id,
     tok/char spans) with sentence-local half-open char spans."""
@@ -194,6 +214,41 @@ def downsample_negatives(labeled: DataFrame, retain_prob: float) -> DataFrame:
     (deterministic content-keyed filter, GroundTruth.java:213-241)."""
     draw = _neg_udf()(F.col("id1"), F.col("id2"))
     return labeled.filter(F.col("is_positive") | (draw < F.lit(retain_prob)))
+
+
+def downsample_negatives_to_ratio(
+    labeled: DataFrame,
+    sample_fraction: float,
+    target_ratio: float,
+    tolerance: float = 1.05,
+) -> tuple[DataFrame, float]:
+    """P2/A10 two-phase ratio-targeted negative downsample
+    (RelexTsvDataset.java:120-157): phase 1 keeps negatives whose D3 draw
+    < ``sample_fraction``; ONE aggregation barrier computes the
+    group-level neg:pos ratio (per (id1,id2) group, positive if any
+    mention positive — the reference's mentionCount aggregate); if the
+    ratio exceeds ``tolerance * target_ratio`` the retain probability is
+    rescaled to ``sample_fraction * target_ratio / current`` and
+    re-applied on the SAME deterministic draw — phase 2 is a strict
+    subset of phase 1, one extra narrow filter, no second shuffle.
+    Returns (filtered mentions, effective retain prob). The reference
+    spends two count actions on the barrier; here both counts come from
+    one agg job."""
+    p1 = downsample_negatives(labeled, sample_fraction)
+    row = (
+        p1.groupBy("id1", "id2")
+        .agg(F.max(F.col("is_positive").cast("int")).alias("pos"))
+        .agg(F.count("*").alias("total"), F.sum("pos").alias("npos"))
+        .first()
+    )
+    total, npos = row["total"], row["npos"] or 0
+    if npos <= 0:
+        return p1, sample_fraction
+    current = (total - npos) / npos
+    if current > tolerance * target_ratio:
+        retain = sample_fraction * (target_ratio / current)
+        return downsample_negatives(labeled, retain), retain
+    return p1, sample_fraction
 
 
 def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:

@@ -151,3 +151,75 @@ def test_filter_triples_by_counts(spark):
     )
     got = {(r.arg1, r.rel, r.arg2) for r in M.filter_triples_by_counts(triples, counts, 5).collect()}
     assert got == {("a", "r", "b")}
+
+
+def test_sentence_bounds_predicate(spark):
+    """P8 exact bounds (CreateTsvDataset.java:167-170): tokens in
+    [min,max] AND chars in [min,max]; boundary values kept."""
+    rows = [
+        (1, 0, "a"),                       # 1 token, 1 char -> drop (both)
+        (2, 0, "a b"),                     # 2 tokens, 3 chars -> keep
+        (3, 0, "w " * 49 + "w"),           # 50 tokens -> keep
+        (4, 0, "w " * 100 + "w"),          # 101 tokens -> drop (tokens)
+        (5, 0, "x" * 400),                 # 1 token, 400 chars -> drop (tokens)
+        (6, 0, "y " + "x" * 398),          # 2 tokens, 400 chars -> keep
+        (7, 0, "y " + "x" * 399),          # 401 chars -> drop (chars)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, sent_id int, sentence string")
+    kept = {r.doc_id for r in M.sentence_bounds(df).collect()}
+    assert kept == {2, 3, 6}
+
+
+def _py_ratio_twin(rows, frac, target, tol=1.05):
+    """Pure-Python twin of downsample_negatives_to_ratio over
+    (id1, id2, is_positive) mention rows."""
+    def draw(a, b):
+        return parity.negative_downsample_priority([a], [b])[0]
+
+    p1 = [r for r in rows if r[2] or draw(r[0], r[1]) < frac]
+    groups = {}
+    for a, b, pos in p1:
+        groups[(a, b)] = groups.get((a, b), False) or pos
+    total, npos = len(groups), sum(groups.values())
+    if npos <= 0:
+        return p1, frac
+    current = (total - npos) / npos
+    if current > tol * target:
+        retain = frac * (target / current)
+        return [r for r in rows if r[2] or draw(r[0], r[1]) < retain], retain
+    return p1, frac
+
+
+def test_downsample_to_ratio_matches_python_twin(spark):
+    """Two-phase retune (RelexTsvDataset.java:120-157): many negative
+    groups vs few positive -> the retain prob rescales and the kept set
+    matches the pure-Python twin row for row."""
+    ids = [f"ent:{c}" for c in "abcdefghijklmnop"]
+    rows = []
+    k = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            pos = k % 23 == 0  # sparse positives
+            for m in range(1 + k % 3):  # 1-3 mentions per group
+                rows.append((a, b, pos))
+            k += 1
+    lab = spark.createDataFrame(rows, "id1 string, id2 string, is_positive boolean")
+    kept_df, retain = M.downsample_negatives_to_ratio(
+        lab, sample_fraction=0.8, target_ratio=1.0
+    )
+    want_rows, want_retain = _py_ratio_twin(rows, 0.8, 1.0)
+    assert retain == pytest.approx(want_retain, abs=0)
+    assert retain < 0.8  # the rescale must actually have triggered
+    got = sorted((r.id1, r.id2, r.is_positive) for r in kept_df.collect())
+    assert got == sorted(want_rows)
+
+
+def test_downsample_to_ratio_no_retune_when_within_tolerance(spark):
+    rows = [("ent:a", "ent:b", True), ("ent:a", "ent:c", False)]
+    lab = spark.createDataFrame(rows, "id1 string, id2 string, is_positive boolean")
+    # phase-1 ratio is at most 1.0 <= 1.05*target -> no rescale
+    kept_df, retain = M.downsample_negatives_to_ratio(
+        lab, sample_fraction=1.0, target_ratio=1.0
+    )
+    assert retain == 1.0
+    assert kept_df.count() == 2
