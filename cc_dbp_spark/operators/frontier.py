@@ -1077,26 +1077,39 @@ class CrawlDriver:
             out = run_round(
                 self.spark, candidates, state, self.robots, self.docs, rnd, self.cfg
             )
-            batch = out["fetch_batch"].localCheckpoint(eager=True)
-            n_sched = batch.count()
-            candidates = out["outlinks"].localCheckpoint(eager=True)
-            n_out = candidates.count()
             # truncate state lineage every round — without this the
             # logical plan grows per round and analysis dominates
-            # runtime. LAZY checkpoints truncate the logical plan at
-            # creation and materialize inside the first consuming job
-            # (next round's schedule, or the isEmpty probe below) — each
-            # eager one here was a separate per-round driver barrier.
+            # runtime. ALL checkpoints are lazy; the ONE fused count job
+            # below materializes batch + outlinks + frontier together
+            # (localCheckpoint persists their partitions on first
+            # compute), yielding n_sched, n_out, and the frontier
+            # emptiness probe from a single per-round barrier — the
+            # round-2 loop spent three driver barriers on the same
+            # information (two eager checkpoint+count jobs plus an
+            # isEmpty job).
+            batch = out["fetch_batch"].localCheckpoint(eager=False)
+            candidates = out["outlinks"].localCheckpoint(eager=False)
             n_seen_prev = state.get("n_seen", 0)
             new_state = {
                 k: out[k].localCheckpoint(eager=False) for k in ("frontier", "seen", "credit")
             }
             if out.get("filter") is not None:
                 new_state["filter"] = out["filter"].localCheckpoint(eager=False)
+            counts = dict(
+                (r["k"], r["n"])
+                for r in batch.select(F.lit("sched").alias("k"))
+                .unionByName(candidates.select(F.lit("out").alias("k")))
+                .unionByName(new_state["frontier"].select(F.lit("frontier").alias("k")))
+                .groupBy("k")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            n_sched = counts.get("sched", 0)
+            n_out = counts.get("out", 0)
             state = new_state
             state["n_seen"] = n_seen_prev + n_sched
             state["seen_nonempty"] = state["n_seen"] > 0
-            state["frontier_nonempty"] = not state["frontier"].isEmpty()
+            state["frontier_nonempty"] = counts.get("frontier", 0) > 0
             out["fetch_batch"] = batch
             self._ckpt(rnd, out, candidates)
             batches.append(batch)
