@@ -106,42 +106,66 @@ _SEED_TEXT = {
         "watch from the garden and their mother brings them bread with "
         "butter and honey because it is a warm afternoon and everyone "
         "would rather stay outside than finish the work that is waiting "
-        "inside the house which has been there for many years"
+        "inside the house which has been there for many years "
+        "good morning everyone said the teacher when she opened the door "
+        "of the small school and asked the students to take their books "
+        "from the shelves near the window so that they could read about "
+        "rivers mountains and cities before lunch was served in the hall"
     ),
     "fr": (
         "le renard brun saute par dessus le chien paresseux pendant que "
         "les enfants regardent depuis le jardin et que leur mère leur "
         "apporte du pain avec du beurre et du miel parce que c'est un "
         "après-midi chaud et que tout le monde préfère rester dehors "
-        "plutôt que de finir le travail qui attend dans la maison"
+        "plutôt que de finir le travail qui attend dans la maison "
+        "bonjour tout le monde dit la maîtresse en ouvrant la porte de "
+        "la petite école et elle demande aux élèves de prendre leurs "
+        "livres sur les étagères près de la fenêtre pour lire des "
+        "histoires de rivières de montagnes et de villes avant le repas"
     ),
     "es": (
         "el zorro marrón salta sobre el perro perezoso mientras los "
         "niños miran desde el jardín y su madre les trae pan con "
         "mantequilla y miel porque es una tarde cálida y todos "
         "prefieren quedarse afuera en lugar de terminar el trabajo que "
-        "espera dentro de la casa que lleva allí muchos años"
+        "espera dentro de la casa que lleva allí muchos años "
+        "buenos días a todos dice la maestra cuando abre la puerta de la "
+        "pequeña escuela y pide a los estudiantes que tomen sus libros "
+        "de los estantes junto a la ventana para leer historias sobre "
+        "ríos montañas y ciudades antes de que sirvan la comida señora"
     ),
     "de": (
         "der braune fuchs springt über den faulen hund während die "
         "kinder aus dem garten zuschauen und ihre mutter ihnen brot mit "
         "butter und honig bringt weil es ein warmer nachmittag ist und "
         "alle lieber draußen bleiben als die arbeit zu beenden die im "
-        "haus wartet das seit vielen jahren dort steht"
+        "haus wartet das seit vielen jahren dort steht "
+        "guten morgen alle zusammen sagt die lehrerin als sie die tür "
+        "der kleinen schule öffnet und die schüler bittet ihre bücher "
+        "von den regalen am fenster zu nehmen um vor dem mittagessen "
+        "geschichten über flüsse berge und städte zu lesen"
     ),
     "it": (
         "la volpe marrone salta sopra il cane pigro mentre i bambini "
         "guardano dal giardino e la loro madre porta loro pane con "
         "burro e miele perché è un pomeriggio caldo e tutti "
         "preferiscono stare fuori piuttosto che finire il lavoro che "
-        "aspetta dentro la casa che è lì da molti anni"
+        "aspetta dentro la casa che è lì da molti anni "
+        "buongiorno a tutti dice la maestra quando apre la porta della "
+        "piccola scuola e chiede agli studenti di prendere i loro libri "
+        "dagli scaffali vicino alla finestra per leggere storie di "
+        "fiumi montagne e città prima che il pranzo sia servito"
     ),
     "pt": (
         "a raposa marrom pula sobre o cão preguiçoso enquanto as "
         "crianças observam do jardim e a mãe delas traz pão com "
         "manteiga e mel porque é uma tarde quente e todos preferem "
         "ficar do lado de fora em vez de terminar o trabalho que "
-        "espera dentro da casa que está lá há muitos anos"
+        "espera dentro da casa que está lá há muitos anos "
+        "bom dia a todos diz a professora quando abre a porta da "
+        "pequena escola e pede aos alunos que peguem seus livros nas "
+        "prateleiras perto da janela para ler histórias sobre rios "
+        "montanhas e cidades antes que o almoço seja servido"
     ),
 }
 

@@ -128,3 +128,57 @@ def test_lang_posterior_udf_threshold(spark):
     confident = [r for r in out if r.p >= 0.5]
     assert len(confident) >= 3
     assert all(r.lang != "und" for r in confident)
+
+
+def test_trigram_langid_short_texts():
+    """M5: short real-language snippets the 8-stopword vote misses
+    (none of these contain an English/… stopword list hit pattern that
+    votes correctly) must classify right with confident posteriors."""
+    cases = {
+        "bonjour tout le monde": "fr",
+        "guten morgen liebe kinder": "de",
+        "buenos dias señora": "es",
+        "good morning everyone": "en",
+        "buongiorno signora": "it",
+        "bom dia senhora": "pt",
+    }
+    langs, posts = ts.score_language(list(cases))
+    for text, lang, post in zip(cases, langs, posts):
+        assert lang == cases[text], (text, lang)
+        assert post >= 0.8, (text, post)
+    # degenerate inputs -> und with zero posterior, never a crash
+    langs, posts = ts.score_language(["", "xy", None if False else "x", "1234"])
+    assert langs[0] == "und" and posts[0] == 0.0
+    assert langs[1] == "und"
+
+
+def test_trigram_langid_batch_independent():
+    """The kernel must give identical scores whether texts are scored
+    one at a time or in a batch (the oracle fixture is computed in one
+    driver-side batch; the UDF sees arbitrary Arrow batch splits)."""
+    texts = [
+        "the quick brown fox", "le chat dort sur le tapis",
+        "der hund läuft im park", "el gato duerme en la silla",
+    ]
+    bl, bp = ts.score_language(texts)
+    for i, t in enumerate(texts):
+        sl, sp = ts.score_language([t])
+        assert sl[0] == bl[i]
+        assert sp[0] == bp[i]
+
+
+def test_trigram_langid_udf_matches_kernel(spark):
+    texts = [
+        "the children play in the garden before dinner",
+        "les enfants jouent dans le jardin avant le dîner",
+        "die kinder spielen im garten vor dem abendessen",
+        "los niños juegan en el jardín antes de la cena",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    udf = ts.lang_posterior_udf()
+    rows = sorted(df.select("i", udf(F.col("text")).alias("lp")).collect())
+    kl, kp = ts.score_language(texts)
+    for r in rows:
+        assert r.lp.lang == kl[r.i]
+        assert abs(r.lp.posterior - kp[r.i]) < 1e-12
