@@ -857,6 +857,39 @@ def q_tensor_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 residual: boilerpipe-style density block classification
+    (public NumWordsRules tree over num_words + link_density of
+    prev/curr/next blocks, Kohlschütter et al.) on a nav-heavy page:
+    the all-link nav paragraph always drops (with its inline link
+    spans); the main paragraph drops too when it has <= 40 words and is
+    followed by the short tail (the classic boilerpipe sandwich); the
+    short tail survives on the strength of its content neighbor."""
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" "),
+        F.col("doc_id").cast("string"), F.lit("</title></head><body>"),
+        F.lit('<p><a href="http://n.ex.com/1">Home</a> '
+              '<a href="http://n.ex.com/2">About</a> '
+              '<a href="http://n.ex.com/3">Contact</a> '
+              '<a href="http://n.ex.com/4">Login</a></p><p>'),
+        F.col("text"),
+        F.lit("</p><p>short tail</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.encode(page, "UTF-8").alias("payload"),
+    )
+    docs = htmlops.html_to_documents(pages, classifier="density")
+    return docs.select(
+        "doc_id", "charset", F.posexplode("spans").alias("span_idx", "s")
+    ).select(
+        "doc_id", "charset", "span_idx",
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"), F.col("s.offset").alias("offset"),
+    )
+
+
 def q_doc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/D2 deterministic content-keyed document downsample
     (pseudoRandomFromString('SAMPLEDOC'+text) < frac; golden-vector
@@ -926,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_json_roundtrip": q_doc_json_roundtrip,
         "opic_scores": q_opic_scores,
         "html_extract": q_html_extract,
+        "html_extract_density": q_html_extract_density,
         "vocab_autotune": q_vocab_autotune,
         "relex_stats": q_relex_stats,
         "tensor_lines": q_tensor_lines,
@@ -1745,6 +1779,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'utf-8', CASE WHEN kept THEN 6 ELSE 5 END, 'link',
                    'more', href, CAST(off3 + 41 AS INT) FROM o2
+        """,
+        "html_extract_density": """
+            WITH base AS (
+              SELECT 'http://' || source || '/' || doc_id AS doc_id,
+                     source || ' ' || doc_id AS title,
+                     text,
+                     -- NumWordsRules: the main paragraph (prev = all-link
+                     -- nav, linkDensity 1 > 0.555556; next = 2-word tail
+                     -- <= 17) survives only with > 40 words
+                     len(string_split_regex(trim(text), '\\s+')) > 40 AS kept
+              FROM documents
+            ),
+            o AS (SELECT *, CAST(length(title) + 2 AS INT) AS off1 FROM base)
+            SELECT doc_id, 'utf-8' AS charset, 0 AS span_idx, 'title' AS kind,
+                   title AS text, NULL AS media_ref, 0 AS offset
+            FROM o
+            UNION ALL
+            SELECT doc_id, 'utf-8', 1, 'paragraph', text, NULL, off1
+            FROM o WHERE kept
+            UNION ALL
+            SELECT doc_id, 'utf-8', CASE WHEN kept THEN 2 ELSE 1 END,
+                   'paragraph', 'short tail', NULL,
+                   CAST(CASE WHEN kept THEN off1 + length(text) + 1
+                        ELSE off1 END AS INT)
+            FROM o
         """,
         "vocab_autotune": """
             WITH w AS (

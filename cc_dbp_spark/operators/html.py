@@ -206,29 +206,101 @@ def detect_charset(payload: bytes) -> str:
     return best
 
 
-def _extract_one(url: str, html: str, min_k_words: int = DEFAULT_MIN_K_WORDS) -> list[dict]:
+def _block_features(blocks) -> list[tuple[int, float, float]]:
+    """(num_words, link_density, text_density) per extractor block —
+    the shallow text features of Kohlschütter et al. (WSDM 2010):
+    link density = anchored words / words; text density = words per
+    80-column wrapped line. A standalone link block is all-anchored."""
+    feats = []
+    for kind, text, href, inline in blocks:
+        words = len(text.split())
+        if kind == "link":
+            linked = words
+        else:
+            linked = sum(
+                len(text[s:e].split()) for (k, s, e, h) in inline if k == "link"
+            )
+        ld = (min(linked, words) / words) if words else 0.0
+        td = words / max(1, -(-len(text) // 80))  # ceil-div line count
+        feats.append((words, ld, td))
+    return feats
+
+
+def _nwr_is_content(prev, curr, nxt) -> bool:
+    """The public boilerpipe NumWordsRulesClassifier decision tree
+    (trained on numWords + linkDensity of the previous/current/next
+    block; Kohlschütter et al.). prev/curr/nxt are (num_words,
+    link_density) — (0, 0.0) beyond the document edges."""
+    pw, pl = prev
+    cw, cl = curr
+    nw, _ = nxt
+    if cl <= 0.333333:
+        if pl <= 0.555556:
+            if cw <= 16:
+                if nw <= 15:
+                    return pw > 4
+                return True
+            return True
+        if cw <= 40:
+            return nw > 17
+        return True
+    return False
+
+
+def classify_density(blocks) -> list[bool]:
+    """Content/boilerplate flag per block via the NumWordsRules tree:
+    link-dense nav chrome and isolated short runs drop; long low-link
+    blocks and short blocks flanked by content survive."""
+    feats = [(w, ld) for (w, ld, _td) in _block_features(blocks)]
+    edge = (0, 0.0)
+    out = []
+    for i in range(len(feats)):
+        prev = feats[i - 1] if i > 0 else edge
+        nxt = feats[i + 1] if i + 1 < len(feats) else edge
+        out.append(_nwr_is_content(prev, feats[i], nxt))
+    return out
+
+
+def _extract_one(
+    url: str,
+    html: str,
+    min_k_words: int = DEFAULT_MIN_K_WORDS,
+    classifier: str = "min_k",
+) -> list[dict]:
     """One page -> offset-sorted interleaved spans.
 
     Title first at offset 0; body blocks follow shifted by
     len(title)+2 (the reference's '\\n\\n' join,
     HtmlToDocument.java:42-48), each KEPT block advancing the offset by
-    len(text)+1. Paragraph-class blocks with fewer than ``min_k_words``
-    words are dropped (and do not advance the offset — they are not part
-    of the document text); titles, headers and link blocks are exempt.
-    Inline link/text_formatting spans carry offsets into the document
-    (block offset + in-block position)."""
+    len(text)+1. Dropped blocks do not advance the offset — they are not
+    part of the document text. Inline link/text_formatting spans carry
+    offsets into the document (block offset + in-block position).
+
+    classifier:
+      * ``min_k`` (default, the reference's KeepEverythingWithMinKWords,
+        boilerpipe/.../MinWordsFilter): paragraph-class blocks under
+        ``min_k_words`` words drop; titles, headers and link blocks
+        are exempt.
+      * ``density``: the public boilerpipe NumWordsRules classification
+        over (num_words, link_density) of prev/curr/next blocks —
+        link-dense nav chrome drops with its inline spans; applies to
+        every body block (the title is not a block)."""
     ex = _Extractor()
     ex.feed(html)
     ex.close()
     ex._flush()  # EOF inside an unclosed block
     title = _WS_RE.sub(" ", " ".join(ex.title_parts)).strip()
+    keep = classify_density(ex.blocks) if classifier == "density" else None
     spans = []
     offset = 0
     if title:
         spans.append({"kind": "title", "text": title, "media_ref": None, "offset": 0})
         offset = len(title) + 2
-    for kind, text, href, inline in ex.blocks:
-        if kind == "paragraph" and len(text.split()) < min_k_words:
+    for bi, (kind, text, href, inline) in enumerate(ex.blocks):
+        if keep is not None:
+            if not keep[bi]:
+                continue
+        elif kind == "paragraph" and len(text.split()) < min_k_words:
             continue
         if kind == "link":
             spans.append(
@@ -261,10 +333,12 @@ def html_to_documents(
     url_col: str = "url",
     payload_col: str = "payload",
     min_k_words: int = DEFAULT_MIN_K_WORDS,
+    classifier: str = "min_k",
 ) -> DataFrame:
     """Arrow-batched extraction: (url, payload binary) -> (doc_id,
     charset, spans). Pages failing to decode yield empty span arrays
-    (error rows, the fetch-layer exception-histogram pattern)."""
+    (error rows, the fetch-layer exception-histogram pattern).
+    ``classifier`` selects the block filter — see :func:`_extract_one`."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,7 +348,7 @@ def html_to_documents(
                 cs = detect_charset(raw)
                 try:
                     html = raw.decode(cs.replace("-sig", "") if cs != "utf-8-sig" else "utf-8-sig")
-                    spans = _extract_one(url, html, min_k_words)
+                    spans = _extract_one(url, html, min_k_words, classifier)
                 except Exception:
                     spans = []
                 out.append({"doc_id": url, "charset": cs, "spans": spans})

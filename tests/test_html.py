@@ -87,3 +87,57 @@ def test_spark_html_to_documents(spark):
     # outlinks extracted from the produced docs feed the frontier
     edges = {(r.src, r.dst) for r in S.outlink_edges(docs.select("doc_id", "spans")).collect()}
     assert ("http://site/p1", "http://x/a") in edges
+
+
+def test_density_classifier_drops_nav_chrome():
+    """Public boilerpipe NumWordsRules tree: an all-link nav block is
+    boilerplate; a long low-link paragraph is content; a short block
+    flanked by content survives; a short isolated block drops."""
+    from cc_dbp_spark.operators import html as H
+
+    page = (
+        "<html><head><title>T</title></head><body>"
+        '<p><a href="/a">Home</a> <a href="/b">About</a> '
+        '<a href="/c">Contact</a> <a href="/d">Login</a></p>'
+        "<p>" + ("word " * 50).strip() + "</p>"
+        "<p>short tail</p>"
+        "</body></html>"
+    )
+    spans = H._extract_one("u", page, classifier="density")
+    kinds_texts = [(s["kind"], s["text"][:20]) for s in spans]
+    assert kinds_texts[0] == ("title", "T")
+    # nav dropped entirely (no link spans), content + tail kept
+    assert all(s["kind"] != "link" for s in spans)
+    assert kinds_texts[1][0] == "paragraph" and kinds_texts[1][1].startswith("word")
+    assert kinds_texts[2] == ("paragraph", "short tail")
+    # offsets: content directly after title + 2; dropped nav advances nothing
+    assert spans[1]["offset"] == len("T") + 2
+
+    # the boilerpipe sandwich: <=40-word paragraph after a link-dense
+    # block and before a short one is classified boilerplate
+    page2 = page.replace(("word " * 50).strip(), ("word " * 20).strip())
+    spans2 = H._extract_one("u", page2, classifier="density")
+    texts2 = [s["text"] for s in spans2]
+    assert texts2 == ["T", "short tail"]
+
+
+def test_block_features_link_and_text_density():
+    from cc_dbp_spark.operators import html as H
+
+    ex = H._Extractor()
+    ex.feed('<p>one <a href="/x">two three</a> four</p><a href="/y">pure link</a>')
+    ex.close()
+    ex._flush()
+    feats = H._block_features(ex.blocks)
+    # block 1: 4 words, 2 anchored -> link density 0.5
+    assert feats[0][0] == 4 and abs(feats[0][1] - 0.5) < 1e-9
+    # standalone link block: all words anchored
+    assert feats[1][0] == 2 and feats[1][1] == 1.0
+    # text density: words per 80-col wrapped line
+    ex2 = H._Extractor()
+    ex2.feed("<p>" + ("w " * 100).strip() + "</p>")
+    ex2.close()
+    ex2._flush()
+    w, ld, td = H._block_features(ex2.blocks)[0]
+    assert w == 100 and ld == 0.0
+    assert abs(td - 100 / -(-199 // 80)) < 1e-9
