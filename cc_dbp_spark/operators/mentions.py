@@ -549,6 +549,45 @@ def encode_tensor_rows(
     return tensors.withColumn("b64", payload)
 
 
+def with_binary_record(tensors: DataFrame) -> DataFrame:
+    """Adds ``bin64``: the reference's TensorFileWriter byte layout,
+    base64-encoded one record per row (RelexTensorDataset.java:81;
+    layout in :mod:`cc_dbp_spark.sources.tensorio`, JVM-golden-anchored).
+    gtRels carries the single positive indicator (the query pipeline
+    tracks is_positive, not per-relation indices — documented
+    divergence)."""
+    import base64
+
+    from pyspark.sql.types import StringType
+
+    from cc_dbp_spark.sources import tensorio
+
+    @F.pandas_udf(StringType())
+    def enc(
+        id1: pd.Series, id2: pd.Series, words: pd.Series, pos1: pd.Series,
+        pos2: pd.Series, pool_starts: pd.Series, pool_ends: pd.Series,
+        sent_starts: pd.Series, positive: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for i in range(len(id1)):
+            rec = tensorio.relex_record_bytes(
+                f"{id1.iloc[i]}\t{id2.iloc[i]}",
+                words.iloc[i], pos1.iloc[i], pos2.iloc[i],
+                pool_starts.iloc[i], pool_ends.iloc[i], sent_starts.iloc[i],
+                [1 if positive.iloc[i] else 0],
+            )
+            out.append(base64.b64encode(rec).decode("ascii"))
+        return pd.Series(out)
+
+    return tensors.withColumn(
+        "bin64",
+        enc(
+            "id1", "id2", "words", "pos1", "pos2",
+            "pool_starts", "pool_ends", "sent_starts", "positive",
+        ),
+    )
+
+
 def assign_split(groups: DataFrame, cdf=(0.8, 0.9, 1.0)) -> DataFrame:
     """D4: train/val/test by the deterministic SPLIT draw over the
     ordered pair + CDF bucket (GroundTruth.java:184-205)."""

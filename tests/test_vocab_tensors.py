@@ -118,3 +118,44 @@ def test_encode_tensor_instances(spark):
     assert r.positive is True
     dec = json.loads(base64.b64decode(r.b64))
     assert dec["words"] == r.words and dec["sent_starts"] == r.sent_starts
+
+
+def test_binary_record_roundtrip_bit_exact(spark):
+    """M14/S12: with_binary_record emits the reference TensorFileWriter
+    byte layout per chunk; decoding rebuilds the exact tensor arrays and
+    re-encoding is byte-identical (writer/reader anchored to a JVM
+    golden in test_tensorio)."""
+    from cc_dbp_spark.sources import tensorio as tio
+
+    rows = spark.createDataFrame(
+        [
+            ("e1", "e2", True, 0, 0, "ARGONE met ARGTWO today"),
+            ("e1", "e2", True, 0, 1, "met before ARGTWO and ARGONE"),
+        ],
+        "id1 string, id2 string, positive boolean, chunk int, sent_ndx int, ctx string",
+    )
+    vocab = spark.createDataFrame(
+        [("met", 0), ("today", 1), ("and", 2), ("before", 3)], "word string, widx int"
+    )
+    t = M.with_binary_record(M.encode_tensor_rows(rows, vocab, max_pos=8))
+    out = t.collect()
+    assert len(out) == 1
+    r = out[0]
+    dec = tio.read_tensor_set(base64.b64decode(r.bin64))
+    group_id, wim, pool, sent_starts, type_tensor, gt_rels = dec
+    assert group_id == "e1\te2"
+    assert wim.shape == (3, len(r.words))
+    assert list(wim[0]) == list(r.words)
+    assert list(wim[1]) == list(r.pos1)
+    assert list(wim[2]) == list(r.pos2)
+    assert [list(p) for p in pool] == [
+        [s, e] for s, e in zip(r.pool_starts, r.pool_ends)
+    ]
+    assert list(sent_starts) == list(r.sent_starts)
+    assert list(type_tensor) == [0, 0]
+    assert list(gt_rels) == [1]
+    # re-encode from the decoded tensors: byte-identical record
+    import base64 as b64
+
+    re_enc = tio.write_tensor_set(*dec)
+    assert b64.b64encode(re_enc).decode() == r.bin64
