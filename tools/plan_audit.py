@@ -116,6 +116,48 @@ def main() -> None:
     check("fused_round_narrow", n_ex <= 1,
           f"scheduled = k-pruned filter + one bounded rank exchange (got {n_ex})")
 
+    # 8. skew guards as CHECKED invariants (not code comments): no
+    # self-join input group may exceed its configured cap
+    from cc_dbp_spark.operators import dedup as dd
+
+    # 8a. default caps hold on the bench fixture (nothing silently
+    # diverts to the star path at the shipped defaults)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, num_hashes=64).localCheckpoint(eager=True)
+    b = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(bi * 4, (bi + 1) * 4)
+                ])) for bi in range(16)
+            ])
+        ).alias("band", "bucket"),
+    )
+    max_bucket = b.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    check("lsh_bucket_cap", max_bucket is not None and max_bucket <= 1024,
+          f"largest minhash band bucket {max_bucket} within the 1024 cap")
+
+    # 8b. adversarial degenerate corpus: with a cap the candidate count
+    # is linear (star), never the clique
+    n_adv = 200
+    adv = spark.range(n_adv).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("identical boilerplate text shared by every shard").alias("text"),
+    )
+    asigs = dd.minhash_signatures(adv, num_hashes=64).localCheckpoint(eager=True)
+    n_cand = dd.minhash_lsh_candidates(asigs, max_bucket=16).count()
+    check("lsh_star_linear", n_cand == n_adv - 1,
+          f"degenerate bucket star-links ({n_cand} candidates for {n_adv} docs)")
+
+    # 8c. host groups: the fused round's per-host output is rank-capped
+    # by the politeness budget (hot hosts cannot exceed it)
+    k = int(50.0 / 1.0)  # round_budget_s / default_crawl_delay_s above
+    max_per_host = scheduled.groupBy("host").count().agg(F.max("count")).first()[0]
+    check("host_group_cap", max_per_host is not None and max_per_host <= k,
+          f"max scheduled per host {max_per_host} <= politeness k {k}")
+
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
