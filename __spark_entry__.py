@@ -287,7 +287,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.5 via inverted-index join."""
     d = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5, broadcast=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CRAWL_N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
+# second scale point: fixed per-round cost (planning, job launch) is
+# <5% at 32M, so this is the fixed-cost-clean throughput number
+CRAWL_N_URLS_BIG = int(os.environ.get("SPARK_GRAFT_BENCH_URLS_BIG", "32000000"))
 # scaling pair N vs 4N: 1 vs 4 cores. On a real cluster each executor
 # brings its own memory bus; on this single-box stand-in the bus is
 # shared, and past ~4-8 workers it saturates (memory bandwidth REGRESSES
@@ -64,6 +67,9 @@ BENCH_QUERIES = [
     "gazetteer_mentions",
     "mention_pairs",
     "mention_groups",
+    "mention_downsample_ratio",
+    "langid_trigram",
+    "html_extract_density",
     "w2v_lines",
     "doc_split",
 ]
@@ -149,7 +155,7 @@ def crawl_round_bench(spark, n_urls: int) -> dict:
     }
 
 
-def run_crawl_only(cores: int) -> None:
+def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS) -> None:
     # heap proportional to cores, mirroring a real cluster where 4N
     # executors bring 4x aggregate memory: a fixed shared heap makes the
     # wide side pay 4x the GC pressure per unit work, an artifact of the
@@ -178,8 +184,8 @@ def run_crawl_only(cores: int) -> None:
     # FULL-SIZE warmup round: a small warmup leaves the first timed
     # round paying JIT compilation and heap-ergonomics growth (measured:
     # first-8M-after-1M-warmup runs 1.5-2x the steady state at 8 cores)
-    crawl_round_bench(spark, CRAWL_N_URLS)
-    runs = [crawl_round_bench(spark, CRAWL_N_URLS) for _ in range(3)]
+    crawl_round_bench(spark, n_urls)
+    runs = [crawl_round_bench(spark, n_urls) for _ in range(3)]
     import statistics
 
     med = statistics.median(r["elapsed_s"] for r in runs)
@@ -216,9 +222,10 @@ def _cpu_control(workers_list=(1, 8, 32)) -> dict:
     return out
 
 
-def _one_crawl_probe(cores: int) -> dict | None:
+def _one_crawl_probe(cores: int, n_urls: int = CRAWL_N_URLS) -> dict | None:
     proc = subprocess.run(
-        [sys.executable, __file__, "--crawl-only", "--cores", str(cores)],
+        [sys.executable, __file__, "--crawl-only", "--cores", str(cores),
+         "--urls", str(n_urls)],
         capture_output=True, text=True, timeout=900,
     )
     line = [l for l in proc.stdout.splitlines() if l.startswith("CRAWLBENCH ")]
@@ -289,7 +296,11 @@ def run_scaling() -> dict:
 def main() -> None:
     if "--crawl-only" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--cores") + 1])
-        run_crawl_only(cores)
+        n_urls = (
+            int(sys.argv[sys.argv.index("--urls") + 1])
+            if "--urls" in sys.argv else CRAWL_N_URLS
+        )
+        run_crawl_only(cores, n_urls)
         return
 
     import __spark_entry__ as entry
@@ -316,6 +327,18 @@ def main() -> None:
     else:  # fallback: in-session measurement
         crawl = crawl_round_bench(spark, CRAWL_N_URLS)
     timings[f"crawl_round_{CRAWL_N_URLS // 1_000_000}m"] = crawl["elapsed_s"]
+
+    # second scale point (32M): fixed-cost-clean throughput; same
+    # fresh-JVM warmup+3-round-median protocol
+    crawl_big = None
+    if os.environ.get("SPARK_GRAFT_BENCH_BIG", "1") != "0":
+        probe_big = _one_crawl_probe(CPUS, CRAWL_N_URLS_BIG)
+        if probe_big is not None:
+            crawl_big = {k: v for k, v in probe_big.items() if k != "all_runs_s"}
+            crawl_big["raw_runs_s"] = probe_big["all_runs_s"]
+            timings[f"crawl_round_{CRAWL_N_URLS_BIG // 1_000_000}m"] = (
+                crawl_big["elapsed_s"]
+            )
     total = round(time.time() - t_suite, 3)
     spark.stop()
 
@@ -327,6 +350,8 @@ def main() -> None:
         "sf": float(pathlib.Path(SF_DIR).name.replace("sf", "") or 0.1),
         "crawl_throughput": crawl,
     }
+    if crawl_big is not None:
+        result["crawl_throughput_32m"] = crawl_big
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         result["scaling"] = run_scaling()
     print(json.dumps(result))

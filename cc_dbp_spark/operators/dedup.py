@@ -329,6 +329,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs over `threshold`,
     via shingle explode + inverted-index equi-join (never a cartesian
@@ -397,7 +398,11 @@ def ngram_jaccard_pairs(
     # the prefix index prunes hard).
     aa = arr.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
     ab = arr.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
-    if arr.count() <= 100_000:  # arr is checkpointed: count is free-ish
+    if broadcast is None:
+        # arr IS checkpointed above, so the count is one cheap job; an
+        # explicit broadcast=True/False skips even that
+        broadcast = arr.count() <= 100_000
+    if broadcast:
         aa, ab = F.broadcast(aa), F.broadcast(ab)
     return (
         cand.join(aa, "id_a")
