@@ -434,6 +434,19 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash pairs -> connected components via
+    iterative min-label propagation (one shuffle per round; LSH bucket
+    caps bound component diameter, so rounds stay O(1) at any scale).
+    comp = min doc_id of the cluster — the dedup keeper."""
+    d = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(d, num_hashes=64).localCheckpoint(eager=True)
+    cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    sim = dedup.minhash_similarity(cand, sigs, broadcast=True)
+    pairs = sim.filter(F.col("est_jaccard") >= 0.5)
+    return dedup.connected_components(pairs).select("id", "comp")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via the block-rotation equi-join."""
     d = _docs(spark, sf_dir)
@@ -932,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "warc_parse": q_warc_parse,
         "minhash_near_dups": q_minhash_near_dups,
+        "neardup_components": q_neardup_components,
         "simhash_near_dups": q_simhash_near_dups,
         "emb_near_dups": q_emb_near_dups,
         "ann_brute": q_ann_brute,
@@ -1467,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
         # ((a*x+b) wraps mod 2^64, then mod 2^61-1 — numpy uint64
         # semantics made exact in HUGEINT), banding, bucket join and the
         # slot-equality Jaccard estimate are all recomputed in SQL.
+        # shared minhash CTE chain (signatures -> bands -> candidates ->
+        # per-pair equal-slot counts) for the near-dup and component oracles
         "minhash_near_dups": sketch_hu + f"""
             , params(i, a, b) AS (VALUES {mh_params}),
             sig AS (
@@ -1487,8 +1503,46 @@ def oracle_sql() -> dict[str, str]:
               JOIN sig sa ON sa.doc_id = c.id_a
               JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
               GROUP BY 1, 2)
+        """ + """
             SELECT id_a, id_b, round(neq / 64.0, 6) AS est_jaccard
             FROM eq WHERE neq / 64.0 >= 0.5
+        """,
+        # transitive closure over the near-dup pairs: comp = min id of
+        # each connected component (DuckDB recursive CTE; the Spark side
+        # is iterative min-label propagation)
+        "neardup_components": sketch_hu.replace("WITH hu", "WITH RECURSIVE hu") + f"""
+            , params(i, a, b) AS (VALUES {mh_params}),
+            sig AS (
+              SELECT doc_id, p.i,
+                     min((((p.a * x) % {_U64} + p.b) % {_U64}) % {_MH_PRIME}) AS v
+              FROM hu CROSS JOIN params p GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, i // 4 AS band, list(v ORDER BY i) AS bv
+              FROM sig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id),
+            eq AS (
+              SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+              GROUP BY 1, 2)
+        """ + """
+            , pairs AS (
+              SELECT id_a, id_b FROM eq WHERE neq / 64.0 >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS id, least(src, min(dst)) AS comp
+            FROM reach GROUP BY src
         """,
         # SimHash oracle: per-bit majority votes, signed bit-pack, the
         # 4x16-bit Hamming block decomposition and the popcount filter,

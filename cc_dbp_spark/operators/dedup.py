@@ -481,3 +481,67 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+# ------------------------------------------------ connected components
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, comp) for every id appearing in ``pairs``: comp = the min id
+    of the node's connected component — the cluster step that turns
+    near-dup PAIRS into dedup GROUPS (keep comp, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels — one shuffle per round, with a
+    localCheckpoint truncating the plan and one count barrier deciding
+    convergence. Rounds needed = the graph diameter; the LSH bucket cap
+    (:func:`_capped_bucket_pairs`) star-links degenerate buckets, so
+    near-dup components have O(1) diameter by construction and the loop
+    converges in a handful of rounds at any corpus scale. (For
+    adversarial high-diameter graphs the alternating large-star /
+    small-star contraction of Kiveris et al. drops rounds to
+    O(log^2 n); near-dup graphs never need it.)
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                comp.select(F.col("id").alias("dst"), F.col("comp").alias("dcomp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nmin"))
+        )
+        new = (
+            comp.join(nbr, comp["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nmin") < F.col("comp")).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("__chg")).count()
+        comp = new.drop("__chg")
+        if changed == 0:
+            break
+    return comp

@@ -94,6 +94,10 @@ class CrawlConfig:
 FRONTIER_SCHEMA = "url string, host string, depth int, link_count bigint, round_added int"
 SEEN_SCHEMA = "url string, url_hash bigint, round_seen int"
 CREDIT_SCHEMA = "host string, credit double"
+
+# round-invariant placeholder for "added this round" inside the heavy
+# scheduling stage (see _fused_schedule); always sorts above real rounds
+_ROUND_SENTINEL = 2147483647
 CAND_SCHEMA = "url string, depth int"
 
 
@@ -598,10 +602,18 @@ def _fused_schedule(
     canon = canon.withColumn("host", host_col(F.col("url")))
 
     contrib = F.lit(0 if rnd == 0 else 1).cast("bigint")  # seeds carry no in-links
+    # round_added enters the HEAVY stage as a round-INVARIANT sentinel
+    # (resolved to the real round number after the checkpoint): a
+    # per-round literal here would change the whole-stage-codegen source
+    # of the canonicalize/rank pipeline every round, forcing a Janino
+    # recompile of the largest generated class per round (measured
+    # seconds of fixed driver cost in the multi-round loop). min() in
+    # the merge still picks the frontier's earlier round because the
+    # sentinel sorts above every real round.
     cand_rows = canon.select(
         "url", "host", "depth",
         contrib.alias("lc_contrib"),
-        F.lit(rnd).alias("round_added"),
+        F.lit(_ROUND_SENTINEL).alias("round_added"),
     )
     if seen_nonempty:
         cand_rows = cand_rows.withColumn("url_hash", F.xxhash64(F.col("url")))
@@ -738,6 +750,14 @@ def _fused_schedule(
     )
     if cfg.cache_flagged:
         flagged = flagged.localCheckpoint(eager=False)
+    # resolve the round sentinel AFTER the checkpoint: this narrow
+    # projection is the only per-round generated code on the heavy path
+    flagged = flagged.withColumn(
+        "round_added",
+        F.when(F.col("round_added") == _ROUND_SENTINEL, F.lit(rnd)).otherwise(
+            F.col("round_added")
+        ),
+    )
 
     # phase 2 exact per-host rank runs unconditionally: its input is the
     # per-(host, salt) top-k survivors (bounded by num_splits * k per

@@ -212,3 +212,22 @@ def test_simhash_bucket_cap_bounds_candidates(spark):
     assert all(r.hamming == 0 for r in rows)
     uncapped = dedup.simhash_near_dups(sim, max_hamming=3, max_bucket=None)
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_connected_components_min_label(spark):
+    """Components from pairs: comp = min id; chains converge (diameter
+    rounds), disjoint clusters stay separate, pair order irrelevant."""
+    pairs = spark.createDataFrame(
+        [
+            ("d3", "d1"), ("d1", "d2"),          # component {d1,d2,d3}
+            ("d7", "d9"),                        # component {d7,d9}
+            ("a5", "a4"), ("a4", "a3"), ("a3", "a2"), ("a2", "a1"),  # chain
+        ],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {
+        "d1": "d1", "d2": "d1", "d3": "d1",
+        "d7": "d7", "d9": "d7",
+        "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1", "a5": "a1",
+    }

@@ -138,3 +138,23 @@ def test_spark_denied_matches_python_twin_with_wildcards(spark):
         for r in fr._with_denied(urls, robots_df).collect()
     }
     assert got == want
+
+
+def test_oracle_twin_matches_engine_on_query_urls():
+    """The crawl-oracle twin must match robots rules against path
+    INCLUDING query exactly like the engine's pathq_col path (a rule can
+    constrain the query: /*?download=1$, or a plain prefix /a?x)."""
+    from cc_dbp_spark.oracle import scheduler as osch
+
+    rules = {
+        "h.ex": {
+            "deny_prefixes": ["/*?download=1$", "/a?x"],
+            "allow_prefixes": [],
+            "crawl_delay_s": 1.0,
+        }
+    }
+    assert not osch._allowed("http://h.ex/file?download=1", rules)
+    assert osch._allowed("http://h.ex/file?download=12", rules)  # $ anchor
+    assert not osch._allowed("http://h.ex/a?xyz", rules)  # prefix on query
+    assert osch._allowed("http://h.ex/a", rules)
+    assert osch._allowed("http://h.ex/file", rules)
