@@ -668,7 +668,9 @@ def q_mention_downsample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/A10 two-phase ratio-targeted negative downsample
     (RelexTsvDataset.java:120-157): fixed-fraction pass, one group-level
     count barrier, rescaled retain prob re-applied on the same D3 draw."""
-    lab = _mention_pipeline(spark, sf_dir)
+    # the retune consumes the pipeline twice (phase-1 count barrier +
+    # phase-2 filter): materialize it once
+    lab = _mention_pipeline(spark, sf_dir).localCheckpoint(eager=True)
     kept, retain = mentions.downsample_negatives_to_ratio(
         lab, sample_fraction=0.5, target_ratio=1.0
     )
