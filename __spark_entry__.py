@@ -57,6 +57,18 @@ GT_TRIPLES = [
     ("ent:stream", "rel:feeds", "ent:window"),
 ]
 
+# deterministic entity-type table for J2/P10: round-robin coarse types,
+# ent:hash carries TWO types (multiType path), ent:window has none (unk)
+TYPE_ROWS = [
+    (f"ent:{w}", ["person", "place", "thing"][i % 3])
+    for i, w in enumerate(GAZ_WORDS)
+    if w != "window"
+] + [("ent:hash", "person")]  # second distinct type -> multiType
+ALLOWED_TYPE_PAIRS = [
+    ("person", "person"), ("person", "thing"), ("place", "thing"),
+    ("multiType", "person"), ("thing", "unk"),
+]
+
 # ---------------------------------------------------------------- helpers
 
 
@@ -686,6 +698,56 @@ def q_mention_downsample_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mention_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + P10: entity-id -> coarse type broadcast lookup with 'unk'
+    default and 'multiType' on conflicts (GroundTruth.getType), then the
+    unordered type-pair allowlist filter (TypePairEntityPairFilter) —
+    emitted per surviving distinct pair."""
+    lab = _mention_pipeline(spark, sf_dir)
+    pairs = lab.select("id1", "id2").distinct()
+    types = spark.createDataFrame(TYPE_ROWS, "id string, type string")
+    typed = mentions.attach_types(pairs, types)
+    allowed = spark.createDataFrame(
+        sorted(ALLOWED_TYPE_PAIRS), "type_a string, type_b string"
+    )
+    kept = mentions.filter_by_type_pairs(typed, allowed)
+    return kept.select("id1", "id2", "type1", "type2")
+
+
+def q_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: corpus-count triple filter (BuildGroundTruth.java:45-55) —
+    keep a GT triple only when BOTH argument entities have at least
+    min_count gazetteer mentions in the corpus."""
+    d = _docs(spark, sf_dir)
+    m = gazetteer.match_documents(d, GAZ_ENTRIES)
+    id_counts = m.groupBy(F.col("entity_id").alias("id")).agg(
+        F.count("*").alias("cnt")
+    )
+    triples = spark.createDataFrame(GT_TRIPLES, "arg1 string, rel string, arg2 string")
+    return mentions.filter_triples_by_counts(triples, id_counts, min_count=900)
+
+
+def q_literal_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 literal cleaning (trailing parenthetical, punct strip,
+    whitespace -> '_', max-len null; ConvertDBpedia literal handling) +
+    M12 TSV sanitization over deterministically synthesized literals."""
+    d = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("  **The Item "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" carrying a very long tail that pushes it past the cap")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" (a note)")).otherwise(F.lit("")),
+        F.lit("  "),
+    )
+    tsv_raw = F.concat(F.lit("a\tb\nc\r"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        kb.clean_literal(raw).alias("lit"),
+        mentions.sanitize_tsv(tsv_raw).alias("tsv"),
+    )
+
+
 def _fixture_docs(spark: SparkSession) -> DataFrame:
     fd = fixtures.ensure_default(500)
     return spark.read.parquet(str(fd / "documents_spans.parquet"))
@@ -965,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_groups": q_mention_groups,
         "mention_downsample": q_mention_downsample,
         "mention_downsample_ratio": q_mention_downsample_ratio,
+        "mention_types": q_mention_types,
+        "triple_counts": q_triple_counts,
+        "literal_clean": q_literal_clean,
         "w2v_lines": q_w2v_lines,
         "doc_split": q_doc_split,
         "span_invariant": q_span_invariant,
@@ -1360,6 +1425,8 @@ def oracle_sql() -> dict[str, str]:
     fx = _fixture_docs_path()
     doc_draws = _ensure_doc_draws()
     pair_draws = _pair_draw_values()
+    types_sql = ", ".join(f"('{i}', '{t}')" for i, t in TYPE_ROWS)
+    allowed_sql = ", ".join(f"('{a}', '{b}')" for a, b in sorted(ALLOWED_TYPE_PAIRS))
 
     from cc_dbp_spark.oracle import sketch_fixtures as sx
 
@@ -2187,5 +2254,66 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_positive,
                    round((SELECT p FROM rt), 6) AS retain_prob
             FROM g2
+        """,
+        # J2 + P10: type resolution (unk/multiType) + unordered-pair allowlist
+        "mention_types": _MENTION_CTE + f"""
+            , typ(id, type) AS (VALUES {types_sql}),
+            resolved AS (
+              SELECT id, CASE WHEN count(DISTINCT type) > 1 THEN 'multiType'
+                              ELSE min(type) END AS etype
+              FROM typ GROUP BY id),
+            pairs AS (SELECT DISTINCT id1, id2 FROM labeled),
+            typed AS (
+              SELECT p.id1, p.id2,
+                     COALESCE(r1.etype, 'unk') AS type1,
+                     COALESCE(r2.etype, 'unk') AS type2
+              FROM pairs p
+              LEFT JOIN resolved r1 ON r1.id = p.id1
+              LEFT JOIN resolved r2 ON r2.id = p.id2),
+            allowed(type_a, type_b) AS (VALUES {allowed_sql})
+            SELECT id1, id2, type1, type2 FROM typed t
+            WHERE EXISTS (
+              SELECT 1 FROM allowed a
+              WHERE a.type_a = least(t.type1, t.type2)
+                AND a.type_b = greatest(t.type1, t.type2))
+        """,
+        # J6: keep triples whose BOTH args clear the corpus-count bar
+        "triple_counts": _MENTION_CTE_UNBOUNDED + f"""
+            , cnts AS (
+              SELECT entity_id AS id, count(*) AS cnt FROM ment GROUP BY 1)
+            -- triples CTE comes with the mention chain
+            SELECT t.arg1, t.rel, t.arg2
+            FROM triples t
+            JOIN cnts c1 ON c1.id = t.arg1 AND c1.cnt >= 900
+            JOIN cnts c2 ON c2.id = t.arg2 AND c2.cnt >= 900
+        """,
+        # M10 + M12 over synthesized literals (same construction as the query)
+        "literal_clean": """
+            WITH raw AS (
+              SELECT doc_id,
+                     '  **The Item ' || doc_id
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' carrying a very long tail that pushes it past the cap'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN ' (a note)' ELSE '' END
+                     || '  ' AS lit_raw,
+                     'a' || chr(9) || 'b' || chr(10) || 'c' || chr(13)
+                     || doc_id AS tsv_raw
+              FROM documents),
+            cleaned AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         lower(trim(regexp_replace(
+                           lit_raw, '\\s*\\([^)]*\\)\\s*$', ''))),
+                         '^[[:space:][:punct:]]+|[[:space:][:punct:]]+$', '', 'g'),
+                       '\\s+', '_', 'g') AS c,
+                     replace(replace(replace(tsv_raw,
+                       chr(9), ' '), chr(10), ' '), chr(13), ' ') AS tsv
+              FROM raw)
+            SELECT doc_id,
+                   CASE WHEN c <> '' AND length(c) <= 40 THEN c END AS lit,
+                   tsv
+            FROM cleaned
         """,
     }

@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "mention_pairs",
     "mention_groups",
     "mention_downsample_ratio",
+    "mention_types",
+    "triple_counts",
+    "literal_clean",
+    "neardup_components",
     "langid_trigram",
     "html_extract_density",
     "w2v_lines",
