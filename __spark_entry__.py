@@ -748,6 +748,75 @@ def q_literal_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_text_fixture(sf_dir: str, kind: str) -> str:
+    """Deterministic .nt / .tsv fixture files synthesized from the sf's
+    doc_ids (S8/S9 scan inputs; the DuckDB oracle reads the SAME file)."""
+    import pyarrow.parquet as pq
+
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = fixtures.DEFAULT_FIXTURE_DIR / f"scan_{name}.{kind}"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        ids = sorted(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )
+        lines = []
+        if kind == "nt":
+            lines.append("# synthetic ntriples fixture")
+            for i in ids:
+                s = f"<http://kb.example/resource/Item_{i}>"
+                p = f"<http://kb.example/ontology/rel{i % 3}>"
+                if i % 2 == 0:
+                    o = f"<http://kb.example/resource/Obj_{i * 7}>"
+                else:
+                    o = f'"literal {i} with \\"quotes\\""'
+                lines.append(f"{s} {p} {o} .")
+                if i % 50 == 0:
+                    lines.append("")  # blank line (dropped by the scan)
+        else:  # tsv
+            for i in ids:
+                lines.append(f"row{i}\t{i * 3}\tlabel {i % 11}")
+        out.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(out)
+
+
+def q_ntriples_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 NTriples scan (NTriples.java:35-52): comment/blank lines drop,
+    object is an IRI or a quoted literal with escapes."""
+    from cc_dbp_spark.sources import io as cio
+
+    return cio.read_ntriples(spark, _ensure_text_fixture(sf_dir, "nt"))
+
+
+def q_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 simple-TSV scan (SimpleTsvIterable.java:27-50): tab split, no
+    quoting."""
+    from cc_dbp_spark.sources import io as cio
+
+    df = cio.read_simple_tsv(
+        spark, _ensure_text_fixture(sf_dir, "tsv"), ["name", "triple", "label"]
+    )
+    return df.select("name", F.col("triple").cast("bigint").alias("triple"), "label")
+
+
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/D6 learning-curve fraction: keep docs whose
+    Random(docId.hashCode()+123321).nextDouble() draw falls under the
+    curve fraction (RelexMention.java:298-303)."""
+    from cc_dbp_spark.functions.parity import register_udfs
+
+    register_udfs(spark)
+    d = _docs(spark, sf_dir)
+    # URL-shaped key: the reference draws on document URIs, whose
+    # hashCodes are spread; consecutive integer ids give JDK Random's
+    # classic correlated first draws (still bit-exact, just degenerate)
+    key = F.concat(F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", key.alias("__k")).filter(
+        F.expr("ccdbp_lc_pos(__k)") < 0.25
+    ).select("doc_id")
+
+
 def _fixture_docs(spark: SparkSession) -> DataFrame:
     fd = fixtures.ensure_default(500)
     return spark.read.parquet(str(fd / "documents_spans.parquet"))
@@ -1030,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_types": q_mention_types,
         "triple_counts": q_triple_counts,
         "literal_clean": q_literal_clean,
+        "ntriples_parse": q_ntriples_parse,
+        "tsv_scan": q_tsv_scan,
+        "learning_curve": q_learning_curve,
         "w2v_lines": q_w2v_lines,
         "doc_split": q_doc_split,
         "span_invariant": q_span_invariant,
@@ -1355,6 +1427,36 @@ def _ensure_lang_scores() -> str:
                 }
             ),
             out,
+        )
+    return str(out)
+
+
+def _ensure_lc_draws() -> str:
+    """Precompute the D6 learning-curve draw per oracle-sf document into
+    a fixture parquet (same pattern as _ensure_doc_draws; the kernel is
+    JDK-golden-anchored in pytest)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_dbp_spark.functions import parity
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR)
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = fixtures.DEFAULT_FIXTURE_DIR / f"lc_draws_{name}.parquet"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        ids = tbl.column("doc_id").to_pylist()
+        srcs = tbl.column("source").to_pylist()
+        draws = parity.learning_curve_position(
+            [f"{s}/{i}" for s, i in zip(srcs, ids)]
+        )
+        pq.write_table(
+            pa.table({"doc_id": tbl.column("doc_id"), "draw": pa.array(draws)}), out
         )
     return str(out)
 
@@ -2286,6 +2388,44 @@ def oracle_sql() -> dict[str, str]:
             FROM triples t
             JOIN cnts c1 ON c1.id = t.arg1 AND c1.cnt >= 900
             JOIN cnts c2 ON c2.id = t.arg2 AND c2.cnt >= 900
+        """,
+        # S8: same fixture file parsed with the same regexes in RE2
+        "ntriples_parse": f"""
+            WITH lines AS (
+              SELECT unnest(string_split(content, chr(10))) AS value
+              FROM read_text('{_ensure_text_fixture(_oracle_sf(), "nt")}')),
+            keep AS (
+              SELECT value FROM lines
+              WHERE value <> '' AND value NOT LIKE '#%'),
+            parsed AS (
+              SELECT
+                regexp_extract(value,
+                  '^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.\\s*$', 1) AS arg1,
+                regexp_extract(value,
+                  '^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.\\s*$', 2) AS rel,
+                regexp_extract(value,
+                  '^\\s*<([^>]*)>\\s+<([^>]*)>\\s+(.*?)\\s*\\.\\s*$', 3) AS arg2_raw
+              FROM keep)
+            SELECT arg1, rel,
+                   CASE WHEN arg2_raw LIKE '<%'
+                        THEN regexp_extract(arg2_raw, '^<([^>]*)>', 1)
+                        ELSE regexp_extract(arg2_raw,
+                               '^"((?:[^"\\\\]|\\\\.)*)"', 1)
+                   END AS arg2
+            FROM parsed WHERE arg1 <> ''
+        """,
+        # S9: tab split, no quoting
+        "tsv_scan": f"""
+            SELECT name, CAST(triple AS BIGINT) AS triple, label
+            FROM read_csv('{_ensure_text_fixture(_oracle_sf(), "tsv")}',
+                          delim=chr(9), header=false, quote='',
+                          columns={{'name': 'VARCHAR', 'triple': 'VARCHAR',
+                                    'label': 'VARCHAR'}})
+        """,
+        # P9/D6: precomputed draw fixture
+        "learning_curve": f"""
+            SELECT doc_id FROM read_parquet('{_ensure_lc_draws()}')
+            WHERE draw < 0.25
         """,
         # M10 + M12 over synthesized literals (same construction as the query)
         "literal_clean": """

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "mention_types",
     "triple_counts",
     "literal_clean",
+    "ntriples_parse",
+    "tsv_scan",
+    "learning_curve",
     "neardup_components",
     "langid_trigram",
     "html_extract_density",

@@ -267,6 +267,10 @@ def register_udfs(spark):
     def jhashcode(s: pd.Series) -> pd.Series:
         return pd.Series(java_string_hashcode_fast(s.fillna("")))
 
+    @pandas_udf(DoubleType())
+    def lc_pos(s: pd.Series) -> pd.Series:
+        return pd.Series(learning_curve_position(s.fillna("")))
+
     @pandas_udf(LongType())
     def gsalt(s: pd.Series, split_count: pd.Series) -> pd.Series:
         return pd.Series(group_salt(s.fillna(""), split_count.to_numpy(dtype=np.int64)))
@@ -278,6 +282,7 @@ def register_udfs(spark):
         "split_loc": split_loc,
         "jhashcode": jhashcode,
         "gsalt": gsalt,
+        "lc_pos": lc_pos,
     }
     for name, fn in fns.items():
         spark.udf.register(f"ccdbp_{name}", fn)
