@@ -2010,13 +2010,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'http://' || source || '/' || doc_id AS doc_id,
                      source || ' ' || doc_id AS title,
                      text,
-                     -- NumWordsRules: the main paragraph (prev = all-link
-                     -- nav, linkDensity 1 > 0.555556; next = 2-word tail
-                     -- <= 17) survives only with > 40 words
-                     len(string_split_regex(trim(text), '\\s+')) > 40 AS kept
+                     len(string_split_regex(trim(text), '\\s+')) AS wc
               FROM documents
             ),
-            o AS (SELECT *, CAST(length(title) + 2 AS INT) AS off1 FROM base)
+            o AS (
+              -- NumWordsRules against ORIGINAL neighbors: the main
+              -- paragraph (prev = all-link nav, linkDensity 1 >
+              -- 0.555556; next = 2-word tail <= 17) survives only with
+              -- > 40 words; the tail survives iff its prev (the main
+              -- paragraph BLOCK, kept or not) has > 4 words — an empty
+              -- text emits no main block, the tail's prev becomes the
+              -- nav, and the tail drops too
+              SELECT *, CAST(length(title) + 2 AS INT) AS off1,
+                     wc > 40 AS kept,
+                     length(trim(text)) > 0 AND wc > 4 AS tail_kept
+              FROM base)
             SELECT doc_id, 'utf-8' AS charset, 0 AS span_idx, 'title' AS kind,
                    title AS text, NULL AS media_ref, 0 AS offset
             FROM o
@@ -2028,7 +2036,7 @@ def oracle_sql() -> dict[str, str]:
                    'paragraph', 'short tail', NULL,
                    CAST(CASE WHEN kept THEN off1 + length(text) + 1
                         ELSE off1 END AS INT)
-            FROM o
+            FROM o WHERE tail_kept
         """,
         "vocab_autotune": """
             WITH w AS (

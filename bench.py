@@ -230,11 +230,18 @@ def _cpu_control(workers_list=(1, 8, 32)) -> dict:
 
 
 def _one_crawl_probe(cores: int, n_urls: int = CRAWL_N_URLS) -> dict | None:
-    proc = subprocess.run(
-        [sys.executable, __file__, "--crawl-only", "--cores", str(cores),
-         "--urls", str(n_urls)],
-        capture_output=True, text=True, timeout=900,
-    )
+    # timeout scales with probe size; expiry returns None (skip the
+    # probe) instead of killing the whole bench after the suite ran —
+    # this VM's tenant contention swings wall time 2.5-3x
+    budget = 900 * max(1, -(-n_urls // CRAWL_N_URLS))
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--crawl-only", "--cores", str(cores),
+             "--urls", str(n_urls)],
+            capture_output=True, text=True, timeout=budget,
+        )
+    except subprocess.TimeoutExpired:
+        return None
     line = [l for l in proc.stdout.splitlines() if l.startswith("CRAWLBENCH ")]
     return json.loads(line[-1][len("CRAWLBENCH "):]) if line else None
 

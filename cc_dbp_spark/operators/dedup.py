@@ -135,10 +135,17 @@ def _capped_bucket_pairs(
     self-joined (that clique is quadratic in the degenerate case —
     boilerplate-identical shards, empty docs). Instead each oversized
     bucket emits a star: every member pairs with the bucket's min-id
-    representative, O(n) rows, which preserves the connected component
-    for dedup while bounding candidate count. Downstream exact verifiers
-    (est_jaccard / hamming / shingle Jaccard) still score every emitted
-    pair. Reference pattern: the gsplits hot-key split
+    representative, O(n) rows. Downstream exact verifiers (est_jaccard /
+    hamming / shingle Jaccard) still score every emitted pair.
+
+    Approximation under the cap (deliberate, like every production LSH
+    cap): the star preserves the component in the CANDIDATE graph, but a
+    member-member pair that is similar to each other yet dissimilar to
+    the representative can fail the downstream verify threshold and drop
+    out of the VERIFIED pair set. In the degenerate buckets the cap
+    targets (near-identical content) members are mutually similar to the
+    rep, so the loss is empty there; set ``max_bucket=None`` for exact
+    (quadratic) behavior. Reference pattern: the gsplits hot-key split
     (RelexTsvDataset.java:100-118)."""
     from pyspark.sql.window import Window
 
@@ -186,22 +193,13 @@ def _capped_bucket_pairs(
     return pairs
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket: int | None = 1024,
+def minhash_band_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: pairs sharing >=1 band bucket. Returns (id_a, id_b,
-    n_shared_bands). Classic band->bucket->self-join; the join key is
-    (band, hash-of-rows) so co-bucketed docs collide in the shuffle.
-    Buckets over ``max_bucket`` members are star-linked instead of
-    self-joined (skew guard — see :func:`_capped_bucket_pairs`)."""
-    assert bands * rows_per_band <= 1024
-    # the signature UDF would otherwise re-run once per self-join branch
-    sigs = sigs.localCheckpoint(eager=True)
-    b = sigs.select(
+    """(id, band, bucket) rows: the LSH banding projection — ONE shared
+    construction for the candidate join and the plan-audit bucket-size
+    invariant, so the checked cap can never drift from the engine."""
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -220,6 +218,24 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """LSH banding: pairs sharing >=1 band bucket. Returns (id_a, id_b,
+    n_shared_bands). Classic band->bucket->self-join; the join key is
+    (band, hash-of-rows) so co-bucketed docs collide in the shuffle.
+    Buckets over ``max_bucket`` members are star-linked instead of
+    self-joined (skew guard — see :func:`_capped_bucket_pairs`)."""
+    assert bands * rows_per_band <= 1024
+    # the signature UDF would otherwise re-run once per self-join branch
+    sigs = sigs.localCheckpoint(eager=True)
+    b = minhash_band_buckets(sigs, id_col, bands, rows_per_band)
     return (
         _capped_bucket_pairs(b, ["band", "bucket"], id_col, max_bucket)
         .groupBy("id_a", "id_b")
@@ -498,13 +514,14 @@ def connected_components(
     Min-label propagation: each round every node takes the min of its
     own label and its neighbors' labels — one shuffle per round, with a
     localCheckpoint truncating the plan and one count barrier deciding
-    convergence. Rounds needed = the graph diameter; the LSH bucket cap
-    (:func:`_capped_bucket_pairs`) star-links degenerate buckets, so
-    near-dup components have O(1) diameter by construction and the loop
-    converges in a handful of rounds at any corpus scale. (For
-    adversarial high-diameter graphs the alternating large-star /
-    small-star contraction of Kiveris et al. drops rounds to
-    O(log^2 n); near-dup graphs never need it.)
+    convergence. Rounds needed = the graph diameter. Degenerate buckets
+    star-link through a representative (:func:`_capped_bucket_pairs`),
+    which keeps THEIR diameter O(1); threshold-filtered pair graphs can
+    still chain (A~B~C where A!~C), so convergence is enforced: the
+    function RAISES if the diameter exceeds ``max_iter`` rather than
+    returning silently-wrong labels — raise ``max_iter`` for long
+    chains, or contract with the alternating large-star/small-star of
+    Kiveris et al. (O(log^2 n) rounds) for adversarial graphs.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -543,5 +560,11 @@ def connected_components(
         changed = new.filter(F.col("__chg")).count()
         comp = new.drop("__chg")
         if changed == 0:
-            break
-    return comp
+            return comp
+    # silent wrong labels are worse than a loud failure: an unconverged
+    # exit would split true components and dedup against bad keepers
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter — raise max_iter, or contract "
+        "with large-star/small-star for adversarial chain graphs)"
+    )

@@ -751,7 +751,11 @@ def _fused_schedule(
     if cfg.cache_flagged:
         flagged = flagged.localCheckpoint(eager=False)
     # resolve the round sentinel AFTER the checkpoint: this narrow
-    # projection is the only per-round generated code on the heavy path
+    # projection is the only per-round generated code on the heavy path.
+    # (Without cache_flagged there is no checkpoint and the projection
+    # fuses back into the heavy stage — fine, because the throughput
+    # callers that disable the cache run a single round per JVM and pay
+    # no repeated recompile.)
     flagged = flagged.withColumn(
         "round_added",
         F.when(F.col("round_added") == _ROUND_SENTINEL, F.lit(rnd)).otherwise(

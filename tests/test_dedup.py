@@ -231,3 +231,19 @@ def test_connected_components_min_label(spark):
         "d7": "d7", "d9": "d7",
         "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1", "a5": "a1",
     }
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter rounds must RAISE, never return
+    silently-wrong split components."""
+    import pytest as _pt
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(n)],
+        "id_a string, id_b string",
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=3)
+    got = {r.comp for r in dedup.connected_components(pairs, max_iter=n + 2).collect()}
+    assert got == {"c00"}

@@ -124,17 +124,9 @@ def main() -> None:
     # diverts to the star path at the shipped defaults)
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sigs = dd.minhash_signatures(docs, num_hashes=64).localCheckpoint(eager=True)
-    b = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(bi * 4, (bi + 1) * 4)
-                ])) for bi in range(16)
-            ])
-        ).alias("band", "bucket"),
-    )
+    # SAME construction the operator joins on (shared helper — the
+    # checked invariant cannot drift from the engine)
+    b = dd.minhash_band_buckets(sigs, "doc_id", bands=16, rows_per_band=4)
     max_bucket = b.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
     check("lsh_bucket_cap", max_bucket is not None and max_bucket <= 1024,
           f"largest minhash band bucket {max_bucket} within the 1024 cap")
