@@ -172,6 +172,10 @@ def _capped_bucket_pairs(
         ]
     pairs = small.alias("l").join(small.alias("r"), cond).select(*out_cols)
     if big is not None:
+        # runtime observability for the silent-recall caveat above: star
+        # diversion is auditable via :func:`oversized_buckets` on the
+        # same (keys, max_bucket); plan_audit checks it on the bench
+        # corpus so a hot-but-heterogeneous bucket can't divert unseen.
         pcols = [id_col] + ([payload] if payload is not None else [])
         rep = big.groupBy(*keys).agg(
             F.min(F.struct(*pcols)).alias("__rep")  # min by id (ids distinct)
@@ -191,6 +195,24 @@ def _capped_bucket_pairs(
         )
         pairs = pairs.unionByName(star)
     return pairs
+
+
+def oversized_buckets(
+    b: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """Buckets that :func:`_capped_bucket_pairs` diverts to the O(n) star
+    path — the runtime signal for the cap's recall caveat (a
+    hot-but-HETEROGENEOUS bucket loses member-member pairs silently
+    otherwise). Returns (keys..., n_members) for every bucket over the
+    cap; run it on the candidate-bucket table (the minhash banding, the
+    simhash block columns, the hyperplane buckets) whenever recall
+    matters, and alert when it is non-empty. plan_audit runs it on the
+    bench corpus in CI."""
+    return (
+        b.groupBy(*keys)
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
 
 
 def minhash_band_buckets(
@@ -442,13 +464,21 @@ def embedding_near_dups(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 5,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
     Scale path: random-hyperplane LSH bucket (numpy matmul per Arrow
-    batch) -> equi-join within bucket -> exact cosine confirm (native
-    zip_with/aggregate). High-cosine pairs collide with high probability;
-    the exact filter keeps precision 1.0.
+    batch) -> capped equi-join within bucket -> exact cosine confirm
+    (native zip_with/aggregate). High-cosine pairs collide with high
+    probability; the exact filter keeps precision 1.0.
+
+    Buckets over ``max_bucket`` members star-link through their min-id
+    representative instead of self-joining (:func:`_capped_bucket_pairs`)
+    — a 100 TB crawl's boilerplate/SEO-farm pages produce exactly the
+    many-near-identical-embeddings corpora that would otherwise collapse
+    into few hyperplane buckets and go quadratic. Same cap discipline as
+    the MinHash/SimHash families; audit with :func:`oversized_buckets`.
     """
     from pyspark.sql.types import LongType
 
@@ -468,38 +498,45 @@ def embedding_near_dups(
 
     dim = len(emb.select(vec_col).first()[0])
     bucket_udf = mk_bucket_udf(dim)
-    b = emb.select(F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col)).alias("bucket"))
+    # materialize once: the bucket UDF + vector column feed the bucket-size
+    # window AND both self-join sides (3 consumers otherwise re-run the UDF)
+    b = emb.select(
+        F.col(id_col), F.col(vec_col), bucket_udf(F.col(vec_col)).alias("bucket")
+    ).localCheckpoint(eager=True)
 
-    l, r = b.alias("l"), b.alias("r")
+    pairs = _capped_bucket_pairs(b, ["bucket"], id_col, max_bucket, payload=vec_col)
+    va, vb = F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")
     dot = F.aggregate(
-        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.transform(F.col(f"{side}.{vec_col}"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+
+    def norm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+            )
         )
-    )
+
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .withColumn("cosine", dot / (norm("l") * norm("r")))
+        pairs.withColumn("cosine", dot / (norm(va) * norm(vb)))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )
 
 
 # ------------------------------------------------ connected components
+
+def _unpersist_local_ckpt(df: DataFrame) -> None:
+    """Free the executor-storage blocks behind a ``localCheckpoint``-ed
+    DataFrame. Iterative loops checkpoint a new state table every round;
+    the superseded copies are only reclaimed by the ContextCleaner on a
+    driver GC, so at frontier scale an explicit unpersist keeps storage
+    bounded at ONE live copy instead of ``max_iter``."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan / Spark Connect: bounded leak, GC reclaims
+
 
 def connected_components(
     pairs: DataFrame,
@@ -537,6 +574,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = comp  # superseded label tables unpersist once replaced
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -558,6 +596,10 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new.filter(F.col("__chg")).count()
+        # `new` is materialized (eager + the count above), so the old
+        # label table's blocks are dead — free them now, not at GC time
+        _unpersist_local_ckpt(prev_ckpt)
+        prev_ckpt = new
         comp = new.drop("__chg")
         if changed == 0:
             return comp

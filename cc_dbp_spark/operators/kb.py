@@ -80,6 +80,73 @@ def taxonomy_expand(triples: DataFrame, closure: DataFrame) -> DataFrame:
     return triples.select("arg1", "rel", "arg2").unionByName(supers).distinct()
 
 
+def filter_gazetteer_labels(
+    labels: DataFrame,
+    id_counts: DataFrame | None,
+    min_count: int = 1,
+    max_count: int = 50_000,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """BuildGazetteer corpus-count label filter
+    (``kb/.../BuildGazetteer.java:92-107``): the KB-finalize step that
+    prunes stop-word-like labels before the gazetteer ships.
+
+    Per (id, label) row, with count = the entity's corpus mention count
+    (0 when absent from idCounts), keep the label iff
+
+    * ``count >= min_count``  (entity is attested at all), AND
+    * the label tokenizes non-empty, AND
+    * multi-word OR integer-token OR ``count <= max_count``
+
+    i.e. a SINGLE-word, NON-numeric label of a super-hot entity is
+    dropped (it behaves like a stopword in matching: "state", "one"),
+    while multi-word surface forms and numbers survive any count.
+    Defaults from ``configSmall.properties:23-24`` (minNodeCorpusCount=1,
+    maxNodeCorpusCount=50000). ``id_counts=None`` is the reference's
+    no-idCounts mode (``countFiltered=false``): every entity passes the
+    min gate with count=min_count.
+
+    Whitespace tokens stand in for the reference's ClearNLP tokens (the
+    same stand-in the rest of the mention pipeline uses); the integer
+    test mirrors ``Lang.isInteger`` (``Integer.parseInt``: optional sign
+    + digits) as the regex ``^[+-]?\\d{1,9}$`` — capped at 9 digits so
+    the rule is engine-independent (parseInt's exact int32 overflow
+    boundary would need a cast whose string->int edge semantics differ
+    between Spark ANSI and DuckDB).
+
+    Scale shape: id_counts is the per-entity corpus count table — KB
+    cardinality, not corpus cardinality — joined on the entity id; at
+    10^7 KB entities AQE picks a broadcast. Everything else is a
+    row-local predicate (codegen, no extra shuffle).
+
+    Returns the surviving (id, label, count, tokens) rows.
+    """
+    toks = F.split(F.trim(F.col(label_col)), r"\s+")
+    if id_counts is None:
+        cnt = F.lit(min_count).cast("bigint")
+        joined = labels
+    else:
+        cnt = F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
+        joined = labels.join(
+            id_counts.select(F.col(id_col), F.col("cnt")), id_col, "left"
+        )
+    first_tok = F.element_at(toks, 1)
+    is_int = first_tok.rlike(r"^[+-]?\d{1,9}$")
+    keep = (
+        (cnt >= min_count)
+        & (F.size(toks) > 0)
+        & (first_tok != "")
+        & ((F.size(toks) > 1) | is_int | (cnt <= max_count))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(label_col),
+        cnt.alias("count"),
+        toks.alias("tokens"),
+    ).filter(keep)
+
+
 def opic_scores(edges: DataFrame, n_rounds: int = 2, damping: float = 0.85) -> DataFrame:
     """OPIC-style cash propagation over (src, dst) edges.
 

@@ -247,3 +247,56 @@ def test_connected_components_raises_when_unconverged(spark):
         dedup.connected_components(pairs, max_iter=3)
     got = {r.comp for r in dedup.connected_components(pairs, max_iter=n + 2).collect()}
     assert got == {"c00"}
+
+
+def test_embedding_bucket_cap_bounds_candidates(spark):
+    """Adversarial identical-embedding corpus (boilerplate/SEO-farm
+    shape): one hyperplane bucket holds everything. With the cap the
+    bucket star-links through its min-id representative — O(n) pairs;
+    uncapped it is the full clique. The exact cosine confirm still
+    scores every emitted pair (identical vectors -> cosine 1)."""
+    n = 40
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id int, embedding array<double>",
+    )
+    capped = dedup.embedding_near_dups(
+        emb, threshold=0.95, n_planes=12, max_bucket=8
+    )
+    rows = capped.collect()
+    assert len(rows) == n - 1
+    assert {r.id_a for r in rows} == {0}
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in rows)
+    uncapped = dedup.embedding_near_dups(
+        emb, threshold=0.95, n_planes=12, max_bucket=None
+    )
+    assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_oversized_buckets_observability(spark):
+    """The star-diversion audit flags exactly the buckets over the cap."""
+    from pyspark.sql import functions as F
+
+    b = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id int, bucket bigint"
+    )
+    over = dedup.oversized_buckets(b, ["bucket"], 9).collect()
+    assert {(r.bucket, r.n_members) for r in over} == {(0, 10), (1, 10), (2, 10)}
+    assert dedup.oversized_buckets(b, ["bucket"], 10).count() == 0
+
+
+def test_connected_components_storage_stays_bounded(spark):
+    """Superseded per-round label checkpoints unpersist eagerly: after a
+    multi-round convergence only the edges + final labels stay persisted
+    (ADVICE r3: the loop used to accumulate one persisted copy/round)."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(n)],
+        "id_a string, id_b string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    comp = dedup.connected_components(pairs, max_iter=n + 2)
+    assert comp.count() == n + 1
+    # edges + final comp = at most 2 new persisted RDDs, not one per round
+    assert jsc.getPersistentRDDs().size() <= before + 2

@@ -79,3 +79,35 @@ def test_opic_scores_conserve_and_rank(spark):
     assert got["hub"] > got["a"] == pytest.approx(got["b"]) == pytest.approx(got["c"])
     # total cash+history mass stays positive and finite
     assert all(v > 0 for v in got.values())
+
+
+def test_filter_gazetteer_labels(spark):
+    """BuildGazetteer.java:92-107 keep rule: count>=min AND (multi-word
+    OR integer OR count<=max); missing idCounts entry -> count 0."""
+    from cc_dbp_spark.operators import kb
+
+    labels = spark.createDataFrame(
+        [
+            ("e:hot", "state"),          # single word, hot -> dropped
+            ("e:hot", "state line"),     # multi-word survives any count
+            ("e:hot", "1984"),           # integer survives any count
+            ("e:cool", "widget"),        # single word, cool -> kept
+            ("e:ghost", "ghost"),        # no idCounts row -> count 0 -> dropped
+            ("e:cool", "  "),            # empty tokenization -> dropped
+        ],
+        "id string, label string",
+    )
+    counts = spark.createDataFrame(
+        [("e:hot", 100_000), ("e:cool", 12)], "id string, cnt bigint"
+    )
+    kept = kb.filter_gazetteer_labels(labels, counts, min_count=1, max_count=50_000)
+    got = {(r.id, r.label, r["count"]) for r in kept.collect()}
+    assert got == {
+        ("e:hot", "state line", 100_000),
+        ("e:hot", "1984", 100_000),
+        ("e:cool", "widget", 12),
+    }
+    # no-idCounts mode (countFiltered=false): every entity passes the
+    # min gate at count=min_count; the max gate then never bites
+    kept2 = kb.filter_gazetteer_labels(labels, None, min_count=1, max_count=50_000)
+    assert kept2.count() == 5  # only the empty-token label drops

@@ -17,6 +17,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
@@ -99,9 +101,9 @@ def main() -> None:
         "host string, deny_prefixes array<string>, allow_prefixes array<string>, crawl_delay_s double",
     )
     credit = spark.createDataFrame([], fr.CREDIT_SCHEMA)
+    audit_cfg = fr.CrawlConfig(use_bloom=False, round_budget_s=50.0)
     flagged, _, scheduled, _ = fr._fused_schedule(
-        cand, None, None, robots, credit, 0,
-        fr.CrawlConfig(use_bloom=False, round_budget_s=50.0),
+        cand, None, None, robots, credit, 0, audit_cfg,
         seen_nonempty=False, frontier_nonempty=False,
     )
     import re as _re
@@ -144,11 +146,65 @@ def main() -> None:
           f"degenerate bucket star-links ({n_cand} candidates for {n_adv} docs)")
 
     # 8c. host groups: the fused round's per-host output is rank-capped
-    # by the politeness budget (hot hosts cannot exceed it)
-    k = int(50.0 / 1.0)  # round_budget_s / default_crawl_delay_s above
+    # by the politeness budget (hot hosts cannot exceed it) — k derived
+    # from the SAME CrawlConfig passed to _fused_schedule above, so a
+    # config change can't silently leave this checking a stale cap
+    k = int(audit_cfg.round_budget_s / audit_cfg.default_crawl_delay_s)
     max_per_host = scheduled.groupBy("host").count().agg(F.max("count")).first()[0]
     check("host_group_cap", max_per_host is not None and max_per_host <= k,
           f"max scheduled per host {max_per_host} <= politeness k {k}")
+
+    # 8d. embedding near-dup skew guard: a degenerate identical-embedding
+    # corpus (the boilerplate/SEO-farm shape a 100 TB crawl produces)
+    # must star-link linearly, never emit the quadratic bucket clique
+    n_emb = 200
+    ident = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"), F.array(*[F.lit(1.0)] * 8).alias("embedding")
+    )
+    n_pairs = dd.embedding_near_dups(
+        ident, threshold=0.95, n_planes=12, max_bucket=16
+    ).count()
+    check("emb_star_linear", n_pairs == n_emb - 1,
+          f"degenerate embedding bucket star-links ({n_pairs} pairs for {n_emb} vecs)")
+
+    # 8e. star-diversion observability: the oversized_buckets audit MUST
+    # flag the degenerate bucket (the runtime signal for the cap's
+    # recall caveat) and MUST be empty on the bench corpus at the
+    # shipped defaults (nothing silently diverting in production shape)
+    adv_b = dd.minhash_band_buckets(asigs, "doc_id", bands=16, rows_per_band=4)
+    n_over_adv = dd.oversized_buckets(adv_b, ["band", "bucket"], 16).count()
+    n_over_bench = dd.oversized_buckets(b, ["band", "bucket"], 1024).count()
+    check("star_divert_observable", n_over_adv > 0 and n_over_bench == 0,
+          f"oversized_buckets flags the degenerate corpus ({n_over_adv} buckets) "
+          f"and is silent on the bench corpus ({n_over_bench})")
+
+    # 9. IVF cell skew: sample-trained centroids must spread the bench
+    # embeddings across cells — max cell population bounded by c*n/k
+    # (residual risk called out in round 3; remedy if this fires is to
+    # re-split or star-cap the hot cell, similarity.ivf_topk docstring)
+    import pyarrow.parquet as pq
+
+    from cc_dbp_spark.operators import similarity as sim
+    from cc_dbp_spark.oracle import sketch_fixtures as sx
+
+    fx = sx.ensure_ivf_fixture(SF)
+    cent = np.asarray(pq.read_table(fx["centroids"]).column("vec").to_pylist())
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        cells, _ = sim.assign_cells(np.stack(vecs.to_numpy()), cent, 1)
+        return pd.Series(cells)
+
+    cells = emb.select(cell_of("embedding").alias("cell"))
+    n_vec = emb.count()
+    max_cell = cells.groupBy("cell").count().agg(F.max("count")).first()[0]
+    cap = 4.0 * n_vec / len(cent)
+    check("ivf_cell_skew", max_cell is not None and max_cell <= cap,
+          f"max IVF cell {max_cell} <= 4*n/k = {cap:.1f} ({n_vec} vecs, {len(cent)} cells)")
 
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
