@@ -23,27 +23,23 @@ all matches and defers overlap cleanup to P12/PostGazClean).
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from cc_dbp_spark.functions import tokenize as _tok
+
 _MATCH_SCHEMA_TAIL = (
     "entity_id string, tok_start int, tok_end int, char_start int, char_end int"
 )
 
-_TOKEN_RE = re.compile(r"\S+")
-
-
-def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
-    """Whitespace tokens + char start/end (half-open) per token."""
-    toks, starts, ends = [], [], []
-    for m in _TOKEN_RE.finditer(text):
-        toks.append(m.group(0))
-        starts.append(m.start())
-        ends.append(m.end())
-    return toks, starts, ends
+# The tokenizer seam: round 4 upgrades the whitespace stand-in to the
+# Penn-style rule tokenizer (reference substrate: ClearNLPTokenize.java
+# via Token.tokenize, BuildGazetteer.java:88-90). On punctuation-free
+# text the two are identical (tokens AND offsets); the divergence cases
+# are pinned differentially in tests/test_gazetteer.py.
+tokenize_with_offsets = _tok.rule_tokenize_with_offsets
 
 
 class GazetteerIndex:

@@ -62,8 +62,16 @@ def _split_udf():
 
 
 def sentences(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sent_id, sentence): split on sentence-final punctuation."""
-    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    """(doc_id, sent_id, sentence): split at sentence-final punctuation
+    with abbreviation + single-initial guards and a capital/digit
+    continuation requirement (tokenize.SENTENCE_SPLIT_REGEX — the
+    rule-based stand-in for the reference's ClearNLPSentence annotator;
+    "Dr. Smith arrived. He sat." splits once, not twice). Native
+    F.split, zero Python stages; the pure-Python twin
+    (tokenize.split_sentences) pins the boundary semantics in pytest."""
+    from cc_dbp_spark.functions import tokenize as _tok
+
+    parts = F.split(F.col(text_col), _tok.SENTENCE_SPLIT_REGEX)
     return docs.select(
         F.col(id_col),
         F.posexplode(parts).alias("sent_id", "sentence"),

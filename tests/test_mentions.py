@@ -33,8 +33,16 @@ def test_sentences_split(spark, docs):
     by_doc = {}
     for r in s:
         by_doc.setdefault(r.doc_id, []).append((r.sent_id, r.sentence))
-    assert by_doc[1] == [(0, "hash join beats sort."), (1, "sort wins")]
+    # the guarded splitter requires a capital/digit continuation, so the
+    # lowercase "sort wins" does NOT open a new sentence (rule-tokenizer
+    # round-4 semantics; "Sort wins" would split)
+    assert by_doc[1] == [(0, "hash join beats sort. sort wins")]
     assert by_doc[3] == [(0, "nothing here")]
+    caps = spark.createDataFrame(
+        [(9, "hash join beats sort. Sort wins")], "doc_id bigint, text string"
+    )
+    got = [(r.sent_id, r.sentence) for r in M.sentences(caps).collect()]
+    assert got == [(0, "hash join beats sort."), (1, "Sort wins")]
 
 
 def test_mention_pairs_best_span_and_rewrite(spark, docs):
@@ -45,14 +53,15 @@ def test_mention_pairs_best_span_and_rewrite(spark, docs):
     r = pairs[(2, 0, "ent:hash", "ent:join")]
     assert (r.s1, r.e1, r.s2, r.e2) == (0, 4, 10, 14)
     assert r.rewritten == "ARGONE then ARGTWO then hash again"
-    # doc 1 sent 0: tokens keep punctuation ("sort." != "sort"), so the
-    # only non-overlapping pair is hash(0,4) x join(5,9); hashjoin(0,9)
-    # overlaps both and pairs with nothing
+    # doc 1 is ONE sentence now (lowercase continuation, guarded split)
+    # and the rule tokenizer splits "sort." into "sort" + ".", so
+    # ent:sort matches at (16,20) AND (22,26) — the punctuation-adjacent
+    # match the whitespace substrate used to miss
     r2 = pairs[(1, 0, "ent:hash", "ent:join")]
-    assert r2.rewritten == "ARGONE ARGTWO beats sort."
-    assert (1, 0, "ent:join", "ent:sort") not in pairs
-    # sent 1 "sort wins" has one entity -> no pairs
-    assert not any(k[0] == 1 and k[1] == 1 for k in pairs)
+    assert r2.rewritten == "ARGONE ARGTWO beats sort. sort wins"
+    r3 = pairs[(1, 0, "ent:join", "ent:sort")]
+    assert (r3.s1, r3.e1, r3.s2, r3.e2) == (5, 9, 16, 20)  # closest sort wins
+    assert r3.rewritten == "hash ARGONE beats ARGTWO. sort wins"
 
 
 def test_relation_join_directions(spark, docs):
