@@ -277,7 +277,11 @@ def minhash_similarity(
     (right when sigs is small — ~0.5KB/doc, fine up to ~10^5 docs);
     False/None leaves the strategy to Catalyst/AQE. The caller decides —
     embedding a ``sigs.count()`` action here would re-run the signature
-    UDF pass for callers that did not materialize ``sigs``."""
+    UDF pass for callers that did not materialize ``sigs``. NOTE: the
+    round-2 default auto-broadcast (count <= 100k) was removed, so
+    callers on the default now get whatever AQE picks — on small
+    materialized inputs that can be a shuffle join; pass broadcast=True
+    there (the driver queries do)."""
     s1 = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     s2 = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     if broadcast:

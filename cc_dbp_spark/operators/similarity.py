@@ -102,6 +102,7 @@ def ivf_topk(
     sample_size: int = 10_000,
     seed: int = 3,
     centroids: np.ndarray | None = None,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """IVF ANN: bucket-by-centroid, probe n_probe buckets per query.
 
@@ -110,6 +111,17 @@ def ivf_topk(
     numpy reduction per Arrow batch (see :func:`assign_cells`); the
     probe join is an equi-join on centroid id — no cross join of the
     full corpus.
+
+    ``max_cell`` is the cell-skew remedy (plan_audit check 9's residual
+    risk): a cell holding more than ``max_cell`` vectors — a boilerplate
+    embedding cluster at crawl scale — is hash-split into
+    ceil(count/max_cell) sub-cells and the probe join runs on
+    (cell, sub), with each probing query exploded across that cell's
+    sub-cells. The candidate set (and therefore the top-k result) is
+    IDENTICAL to the unsplit plan; only the join partition sizes are
+    bounded. The sub-count table is one row per centroid — always a
+    broadcast. Default off: the split adds a count barrier, so turn it
+    on when the corpus is big enough for skew to matter.
     """
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
@@ -143,7 +155,23 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("qnorm"),
         F.explode(assign_probe(F.col(vec_col))).alias("cell"),
     )
-    scored = q.join(c, "cell").withColumn(
+    join_keys = ["cell"]
+    if max_cell is not None:
+        # one count barrier over the assignment (cells only, no vectors);
+        # the n_subs table is <= n_centroids rows — always broadcast
+        c = c.localCheckpoint(eager=True)  # assignment UDF feeds 2 consumers
+        sizes = c.groupBy("cell").agg(
+            F.ceil(F.count("*") / max_cell).cast("int").alias("n_subs")
+        )
+        c = c.join(F.broadcast(sizes), "cell").withColumn(
+            "sub",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("n_subs")).cast("int"),
+        ).drop("n_subs")
+        q = q.join(F.broadcast(sizes), "cell").withColumn(
+            "sub", F.explode(F.sequence(F.lit(0).cast("int"), F.col("n_subs") - 1))
+        ).drop("n_subs")
+        join_keys = ["cell", "sub"]
+    scored = q.join(c, join_keys).withColumn(
         "cosine", _dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
