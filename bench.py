@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "lineitem_pricing",
     "gazetteer_mentions",
+    "gazetteer_label_filter",
+    "mention_pairs_window",
     "mention_pairs",
     "mention_groups",
     "mention_downsample_ratio",

@@ -300,3 +300,37 @@ def test_connected_components_storage_stays_bounded(spark):
     assert comp.count() == n + 1
     # edges + final comp = at most 2 new persisted RDDs, not one per round
     assert jsc.getPersistentRDDs().size() <= before + 2
+
+
+def test_connected_components_star_equals_min_label(spark):
+    """Kiveris alternating large-star/small-star contraction produces
+    exactly the min-label components on random graphs."""
+    import random
+
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+        want = {(r.id, r.comp) for r in dedup.connected_components(pairs, max_iter=60).collect()}
+        got = {(r.id, r.comp) for r in dedup.connected_components_star(pairs).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_connected_components_star_handles_adversarial_chain(spark):
+    """A 200-node chain (diameter 199) needs ~200 min-label rounds but
+    converges in O(log^2 n) star rounds — the documented escape for
+    threshold-filtered near-dup graphs that chain."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    comp = dedup.connected_components_star(pairs, max_iter=12)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r.comp for r in rows} == {"c000"}
