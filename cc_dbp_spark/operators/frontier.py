@@ -35,10 +35,14 @@ Scale deployment notes (10^10 frontier, 1000 executors):
   be a bucketed+sorted-by-url table (Iceberg or Hive-bucketed parquet,
   append-only: one new file per bucket per round): the anti-join then
   shuffles only the "maybe" rows and streams each seen bucket once,
-  with no exchange or re-sort of the seen side. The sandbox's
+  with no exchange of the seen side. This layout is IMPLEMENTED and
+  plan-asserted in-session (``plans/layout.write_bucketed_snapshot`` +
+  ``bucketed_anti_join``; tests/test_serde_layout_streaming asserts
+  exactly one Exchange — the candidate side); pass the bucketed table
+  scan as ``state["seen"]`` to use it in the round loop. The sandbox's
   in-memory catalog cannot persist bucket metadata across sessions, so
-  checkpoints here are plain parquet and the confirm relies on the
-  filters keeping "maybe" small (fpr * candidates + true re-links).
+  cross-session checkpoints remain plain parquet and the confirm relies
+  on the filters keeping "maybe" small (fpr * candidates + re-links).
 """
 
 from __future__ import annotations

@@ -48,3 +48,51 @@ def block_shuffle(df: DataFrame, order_col: str, block_size: int,
         .orderBy("__block", "__mix", order_col)
         .drop("__seq", "__block", "__mix")
     )
+
+
+def write_bucketed_snapshot(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    key: str = "url",
+    path: str | None = None,
+) -> None:
+    """Write a state snapshot as a bucketed+sorted-by-key parquet table —
+    the deployment layout for the frontier's exact seen-confirm anti-join
+    (frontier.py module docs): with the seen side bucketed on the url,
+    the confirm join shuffles ONLY the bloom-"maybe" candidate rows into
+    the seen table's bucketing and streams each seen bucket once — NO
+    exchange of the O(seen) side (plan-asserted in tests/test_pipeline).
+    Append-only deployments (Iceberg / Hive bucketed parquet) add one
+    file per bucket per round.
+
+    The data is also written sorted, one file per bucket; Spark only
+    propagates that order into the join (eliding the seen-side
+    in-partition re-sort too) under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` — the
+    re-sort it otherwise plans is per-partition CPU, not a shuffle.
+
+    Bucket metadata lives in the session catalog (saveAsTable); pass
+    ``path`` to place the data outside the warehouse dir.
+    """
+    # repartition on the SAME hash the bucketing uses -> exactly one file
+    # per bucket, so readers can trust the per-bucket sort order and skip
+    # the re-sort before a sort-merge join (multi-file buckets force one)
+    w = (
+        df.repartition(n_buckets, F.col(key))
+        .sortWithinPartitions(key)
+        .write.format("parquet")
+        .mode("overwrite")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(n_buckets, key).sortBy(key).saveAsTable(table)
+
+
+def bucketed_anti_join(candidates: DataFrame, seen_table_df: DataFrame,
+                       key: str = "url") -> DataFrame:
+    """candidates NOT IN seen, shaped for the bucketed layout: the merge
+    hint pins sort-merge (production seen sets are far beyond any
+    broadcast threshold), so Catalyst plans exactly one Exchange — the
+    candidate side shuffling into the seen table's bucketing."""
+    return candidates.join(seen_table_df.hint("merge"), key, "left_anti")

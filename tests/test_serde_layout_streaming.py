@@ -139,3 +139,41 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_bucketed_seen_anti_join_shuffles_only_candidates(spark, tmp_path):
+    """The frontier's deployment story for the O(seen) confirm anti-join
+    (frontier.py module docs), exercised: seen written as a bucketed+
+    sorted table -> the anti-join plans exactly ONE Exchange (the
+    candidate side shuffling into the seen bucketing) and scans the
+    seen side bucketed, with results identical to the plain anti-join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    seen = spark.range(5000).select(
+        F.concat(
+            F.lit("http://h"), (F.col("id") % 97).cast("string"),
+            F.lit(".ex.com/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    layout.write_bucketed_snapshot(seen, "seen_bkt_test", 8, path=str(tmp_path / "seen"))
+    try:
+        cand = spark.range(400).select(
+            F.concat(
+                F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                F.lit(".ex.com/p/"), (F.col("id") * 7).cast("string"),
+            ).alias("url")
+        )
+        out = layout.bucketed_anti_join(cand, spark.table("seen_bkt_test"))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # candidates only
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        got = sorted(r.url for r in out.collect())
+        want = sorted(r.url for r in cand.join(seen, "url", "left_anti").collect())
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
