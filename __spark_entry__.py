@@ -760,6 +760,18 @@ def q_gazetteer_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gazetteer_overlap_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 PostGazClean (GazetteerEDL.java:41-70): drop a match covering
+    <= 1 token that lies inside a strictly-longer match of the same
+    document — e.g. the single-word 'hash' and 'join' matches inside a
+    'hash join' phrase match."""
+    d = _docs(spark, sf_dir)
+    m = gazetteer.match_documents(d, GAZ_ENTRIES)
+    return gazetteer.clean_overlapping_matches(m).select(
+        "doc_id", "entity_id", "tok_start", "tok_end"
+    )
+
+
 def q_mention_pairs_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 token-window pair variant
     (CreateTsvDatasetTokenWindow.java:93-120): entity pairs whose
@@ -1134,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_density": q_html_extract_density,
         "gazetteer_label_filter": q_gazetteer_label_filter,
         "mention_pairs_window": q_mention_pairs_window,
+        "gazetteer_overlap_clean": q_gazetteer_overlap_clean,
         "doc_downsample": q_doc_downsample,
         "opic_scores": q_opic_scores,
         "vocab_autotune": q_vocab_autotune,
@@ -2007,6 +2020,34 @@ def oracle_sql() -> dict[str, str]:
               AND (len(tokens) > 1
                    OR regexp_matches(tokens[1], '^[+-]?\\d{{1,9}}$')
                    OR count <= 900)
+        """,
+        # P12 overlap cleanup: matches with 0-based token spans; drop a
+        # <=1-token match lying inside a strictly-longer same-doc match
+        "gazetteer_overlap_clean": f"""
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            widx AS (
+              SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS ord FROM sp),
+            toks AS (
+              SELECT doc_id, w[ord] AS word, CAST(ord AS INT) AS ord FROM widx),
+            m AS (
+              SELECT doc_id, 'ent:' || word AS entity_id,
+                     ord - 1 AS tok_start, ord AS tok_end
+              FROM toks WHERE word IN {_GAZ_WORDS_SQL}
+              UNION ALL
+              SELECT a.doc_id, 'ent:' || a.word || '_' || b.word,
+                     a.ord - 1, a.ord + 1
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+              WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL}))
+            SELECT doc_id, entity_id, tok_start, tok_end FROM m
+            WHERE NOT (
+              tok_end - tok_start <= 1
+              AND EXISTS (
+                SELECT 1 FROM m l
+                WHERE l.doc_id = m.doc_id
+                  AND l.tok_start <= m.tok_start AND l.tok_end >= m.tok_end
+                  AND (l.tok_end - l.tok_start) > (m.tok_end - m.tok_start)))
         """,
         # F3 token-window pairs: matches with 0-based token starts, all
         # pairs id1<id2 whose starts lie within +-4 tokens

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "lineitem_pricing",
     "gazetteer_mentions",
     "gazetteer_label_filter",
+    "gazetteer_overlap_clean",
     "mention_pairs_window",
     "mention_pairs",
     "mention_groups",
