@@ -348,3 +348,61 @@ def test_fused_randomized_differential(spark, seed):
     assert skey(scheduled.select("url", "host", "rank").collect()) == skey(
         ref_sched.select("url", "host", "rank").collect()
     )
+
+
+def test_bucketed_seen_state_equals_plain(spark, fixture_dir, tmp_path_factory):
+    """The deployment layout for the O(seen) confirm anti-join, wired
+    through a REAL round: run_round with state['seen'] = a bucketed+
+    sorted table scan produces the identical schedule (the one-Exchange
+    plan property is asserted at the layout level in
+    test_serde_layout_streaming)."""
+    from cc_dbp_spark.plans import layout
+
+    docs = spark.read.parquet(str(fixture_dir / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fixture_dir / "seeds.parquet"))
+    robots = spark.read.parquet(str(fixture_dir / "robots_rules.parquet"))
+    cfg = fr.CrawlConfig(round_budget_s=3.0, use_bloom=False)
+
+    st = fr.empty_state(spark)
+    st["seen_nonempty"] = False
+    st["frontier_nonempty"] = False
+    out0 = fr.run_round(
+        spark, seeds.select("url", F.col("depth").cast("int")), st, robots,
+        docs, 0, cfg,
+    )
+    seen = out0["seen"].localCheckpoint(eager=True)
+    frontier1 = out0["frontier"].localCheckpoint(eager=True)
+    cand1 = out0["outlinks"].localCheckpoint(eager=True)
+    carried = {
+        "frontier": frontier1,
+        "credit": out0["credit"].localCheckpoint(eager=True),
+        "seen_nonempty": seen.count() > 0,
+        "frontier_nonempty": frontier1.count() > 0,
+    }
+    assert carried["seen_nonempty"]  # the anti-join path must be live
+
+    def round1(seen_df):
+        out = fr.run_round(
+            spark, cand1, {**carried, "seen": seen_df}, robots, docs, 1, cfg
+        )
+        batch = out["fetch_batch"]
+        return [(r["position"], r["url"]) for r in batch.orderBy("position").collect()]
+
+    want = round1(seen)
+
+    tmp = tmp_path_factory.mktemp("seenbkt")
+    layout.write_bucketed_snapshot(seen, "seen_round_bkt", 4, key="url",
+                                   path=str(tmp / "seen"))
+    # production seen sets exceed any broadcast threshold; force the
+    # sort-merge path the bucketing is for (the fetch_batch plan itself
+    # cannot be inspected here — the anti-join runs upstream of the
+    # round's internal checkpoint — so the one-Exchange property is
+    # plan-asserted at the layout level instead)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = round1(spark.table("seen_round_bkt"))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS seen_round_bkt")
