@@ -177,3 +177,72 @@ def test_bucketed_seen_anti_join_shuffles_only_candidates(spark, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_bkt_test")
+
+
+def test_streaming_crawl_rounds_match_batch(spark, tmp_path):
+    """Streaming ingest seam: candidate files drained one-per-trigger,
+    each micro-batch = one scheduling round via foreachBatch, outlinks
+    feeding the next round — the concatenated schedule equals driving
+    frontier.run_round by hand over the same candidate batches."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cc_dbp_spark import fixtures
+    from cc_dbp_spark.operators import frontier as fr
+    from cc_dbp_spark.streaming import ingest
+
+    fd = fixtures.ensure_default(500)
+    docs = spark.read.parquet(str(fd / "documents_spans.parquet"))
+    robots = spark.read.parquet(str(fd / "robots_rules.parquet"))
+    seeds = spark.read.parquet(str(fd / "seeds.parquet")).select(
+        "url", F.col("depth").cast("int")
+    )
+    # three arriving candidate files (deterministic split), mtime-ordered
+    src = tmp_path / "cand_stream"
+    src.mkdir()
+    parts = [
+        seeds.filter(F.xxhash64("url") % 3 == i).toPandas() for i in range(3)
+    ]
+    for i, pdf in enumerate(parts):
+        p = src / f"batch_{i}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        _time.sleep(0.01)
+
+    cfg = fr.CrawlConfig(round_budget_s=3.0, use_bloom=True)
+    sc = ingest.StreamingCrawl(spark, robots, docs, cfg)
+    sched = sc.run_available_now(str(src), str(tmp_path / "ckpt"))
+    got = [
+        (r["round"], r["position"], r["url"])
+        for r in sched.orderBy("round", "position").collect()
+    ]
+    assert len(sc.rounds) == 3
+
+    # batch twin: same candidate batches + outlink feedback by hand
+    state = fr.empty_state(spark)
+    state["seen_nonempty"] = False
+    state["frontier_nonempty"] = False
+    want, carried, n_seen = [], None, 0
+    for rnd in range(3):
+        cand = spark.createDataFrame(parts[rnd], ingest.CANDIDATE_SCHEMA)
+        if carried is not None:
+            cand = cand.unionByName(carried)
+        out = fr.run_round(spark, cand, state, robots, docs, rnd, cfg)
+        batch = out["fetch_batch"].localCheckpoint(eager=True)
+        carried = out["outlinks"].localCheckpoint(eager=True)
+        state = {
+            k: out[k].localCheckpoint(eager=True)
+            for k in ("frontier", "seen", "credit")
+        }
+        if out.get("filter") is not None:
+            state["filter"] = out["filter"].localCheckpoint(eager=True)
+        n_seen += batch.count()
+        state["seen_nonempty"] = n_seen > 0
+        state["frontier_nonempty"] = state["frontier"].count() > 0
+        want.extend(
+            (r["round"], r["position"], r["url"])
+            for r in batch.orderBy("position").collect()
+        )
+    assert got == want and len(got) > 0
