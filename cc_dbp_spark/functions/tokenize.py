@@ -49,8 +49,12 @@ ABBREVIATIONS = frozenset({
 _MULTI_INITIAL = re.compile(r"^(?:[A-Za-z]{1,2}\.){2,}$")
 # numbers with group/decimal marks, optional sign / trailing percent
 _NUMBER = re.compile(r"^[+-]?\d+(?:[.,]\d+)*%?$")
-# alnum runs connected by single hyphens/apostrophes, or one other char
-_CORE_RE = re.compile(r"[A-Za-z0-9]+(?:['’-][A-Za-z0-9]+)*|[^A-Za-z0-9]")
+# alnum runs connected by single hyphens/apostrophes, or one other char.
+# [^\W_] = Unicode alphanumerics (\w minus underscore), matching the
+# str.isalnum() classes the chunk fast path and peel loop use — an
+# ASCII-only class here would shred accented/non-Latin words into
+# per-character tokens whenever punctuation sits in the same chunk
+_CORE_RE = re.compile(r"[^\W_]+(?:['’-][^\W_]+)*|[\W_]")
 _CONTRACTION = re.compile(r"^([A-Za-z]+)(n['’]t)$", re.IGNORECASE)
 _CLITIC = re.compile(r"^([A-Za-z]+)(['’](?:s|re|ve|ll|d|m))$", re.IGNORECASE)
 

@@ -633,13 +633,23 @@ def connected_components_star(
 
     large-star: every node points its LARGER neighbors at the minimum
     of its closed neighborhood; small-star: every node points its
-    not-larger neighbors (and itself) at that minimum. Each operation
-    is one groupBy + join (two shuffles/round), each round
-    localCheckpoints and unpersists the superseded edge set, and
-    convergence = the edge multiset is a fixed point (stars), checked
-    with the same subtract-based barrier both directions. Works on any
-    orderable id type (strings use lexicographic order).
+    not-larger neighbors (and itself) at that minimum. Each star
+    operation is one groupBy + one join (+ a distinct); the large-star
+    intermediate is materialized once per round (the small-star plan
+    consumes it from several subtrees — left unmaterialized it would
+    re-execute those shuffles per subtree) and superseded checkpoints
+    unpersist eagerly. Convergence = the edge set is a fixed point
+    (stars), checked with a fused both-direction anti-join barrier.
+    Works on any orderable id type (strings use lexicographic order).
+    Nodes appearing only in self-pairs label themselves, matching
+    :func:`connected_components`.
     """
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
@@ -678,9 +688,9 @@ def connected_components_star(
         )
 
     for _ in range(max_iter):
-        new = _star(_star(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        ls = _star(edges, large=True).localCheckpoint(eager=True)
+        new = _star(ls, large=False).localCheckpoint(eager=True)
+        _unpersist_local_ckpt(ls)
         # fixed point iff the edge multisets match (both are distinct
         # sets, so two anti-join counts in ONE fused barrier suffice)
         diff = (
@@ -692,12 +702,17 @@ def connected_components_star(
         prev_ckpt = new
         edges = new
         if diff == 0:
-            # stars: every edge is (root, member); roots label themselves
+            # stars: every edge is (root, member); roots label themselves;
+            # self-pair-only nodes come back as singletons
             members = edges.select(F.col("v").alias("id"), F.col("u").alias("comp"))
             roots = edges.select(F.col("u").alias("id")).distinct().withColumn(
                 "comp", F.col("id")
             )
-            return members.unionByName(roots)
+            labeled = members.unionByName(roots)
+            singletons = all_nodes.join(
+                labeled.select("id"), "id", "left_anti"
+            ).withColumn("comp", F.col("id"))
+            return labeled.unionByName(singletons)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )

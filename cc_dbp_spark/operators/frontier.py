@@ -1035,6 +1035,64 @@ def run_round(
     }
 
 
+def advance_round_state(
+    out: dict,
+    n_seen_prev: int,
+    extra_counts: dict[str, DataFrame] | None = None,
+    materialize_all_state: bool = False,
+) -> tuple[DataFrame, DataFrame, dict, dict]:
+    """Shared round-state bookkeeping for the batch round loop
+    (:meth:`CrawlDriver.run`) and the streaming ingest seam
+    (:class:`cc_dbp_spark.streaming.ingest.StreamingCrawl`) — one
+    implementation so the two loops cannot drift.
+
+    Lazy-localCheckpoints the round's outputs and materializes them in
+    ONE fused tagged-union count job (three separate driver barriers
+    otherwise: batch count, outlink count, frontier emptiness probe).
+    Returns ``(batch, outlinks, new_state, counts)``; ``counts`` maps
+    'sched'/'out'/'frontier' (+ any ``extra_counts`` keys) to row
+    counts, and ``new_state`` carries n_seen / seen_nonempty /
+    frontier_nonempty forward.
+
+    ``materialize_all_state=True`` additionally folds seen/credit/filter
+    into the count job — required when the round's inputs are NOT
+    replayable later (a streaming micro-batch relation); the batch loop
+    leaves them lazy (they materialize inside the next round's first
+    job, and parquet inputs replay).
+    """
+    batch = out["fetch_batch"].localCheckpoint(eager=False)
+    outlinks = out["outlinks"].localCheckpoint(eager=False)
+    new_state = {
+        k: out[k].localCheckpoint(eager=False) for k in ("frontier", "seen", "credit")
+    }
+    if out.get("filter") is not None:
+        new_state["filter"] = out["filter"].localCheckpoint(eager=False)
+    union = (
+        batch.select(F.lit("sched").alias("k"))
+        .unionByName(outlinks.select(F.lit("out").alias("k")))
+        .unionByName(new_state["frontier"].select(F.lit("frontier").alias("k")))
+    )
+    if materialize_all_state:
+        union = union.unionByName(
+            new_state["seen"].select(F.lit("seen").alias("k"))
+        ).unionByName(new_state["credit"].select(F.lit("credit").alias("k")))
+        if new_state.get("filter") is not None:
+            union = union.unionByName(
+                new_state["filter"].select(F.lit("filter").alias("k"))
+            )
+    for name, df in (extra_counts or {}).items():
+        union = union.unionByName(df.select(F.lit(name).alias("k")))
+    counts = dict(
+        (r["k"], r["n"])
+        for r in union.groupBy("k").agg(F.count("*").alias("n")).collect()
+    )
+    n_seen = n_seen_prev + counts.get("sched", 0)
+    new_state["n_seen"] = n_seen
+    new_state["seen_nonempty"] = n_seen > 0
+    new_state["frontier_nonempty"] = counts.get("frontier", 0) > 0
+    return batch, outlinks, new_state, counts
+
+
 class CrawlDriver:
     """Round loop with parquet checkpointing + resume (the reference's
     output-exists resume pattern, RelexBuildDataset.java:72-93)."""
@@ -1107,37 +1165,18 @@ class CrawlDriver:
             )
             # truncate state lineage every round — without this the
             # logical plan grows per round and analysis dominates
-            # runtime. ALL checkpoints are lazy; the ONE fused count job
-            # below materializes batch + outlinks + frontier together
-            # (localCheckpoint persists their partitions on first
-            # compute), yielding n_sched, n_out, and the frontier
-            # emptiness probe from a single per-round barrier — the
-            # round-2 loop spent three driver barriers on the same
-            # information (two eager checkpoint+count jobs plus an
-            # isEmpty job).
-            batch = out["fetch_batch"].localCheckpoint(eager=False)
-            candidates = out["outlinks"].localCheckpoint(eager=False)
-            n_seen_prev = state.get("n_seen", 0)
-            new_state = {
-                k: out[k].localCheckpoint(eager=False) for k in ("frontier", "seen", "credit")
-            }
-            if out.get("filter") is not None:
-                new_state["filter"] = out["filter"].localCheckpoint(eager=False)
-            counts = dict(
-                (r["k"], r["n"])
-                for r in batch.select(F.lit("sched").alias("k"))
-                .unionByName(candidates.select(F.lit("out").alias("k")))
-                .unionByName(new_state["frontier"].select(F.lit("frontier").alias("k")))
-                .groupBy("k")
-                .agg(F.count("*").alias("n"))
-                .collect()
+            # runtime. ALL checkpoints are lazy; advance_round_state's
+            # ONE fused count job materializes batch + outlinks +
+            # frontier together (localCheckpoint persists their
+            # partitions on first compute), yielding n_sched, n_out,
+            # and the frontier emptiness probe from a single per-round
+            # barrier — the round-2 loop spent three driver barriers on
+            # the same information.
+            batch, candidates, state, counts = advance_round_state(
+                out, state.get("n_seen", 0)
             )
             n_sched = counts.get("sched", 0)
             n_out = counts.get("out", 0)
-            state = new_state
-            state["n_seen"] = n_seen_prev + n_sched
-            state["seen_nonempty"] = state["n_seen"] > 0
-            state["frontier_nonempty"] = counts.get("frontier", 0) > 0
             out["fetch_batch"] = batch
             self._ckpt(rnd, out, candidates)
             batches.append(batch)

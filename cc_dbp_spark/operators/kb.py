@@ -87,6 +87,7 @@ def filter_gazetteer_labels(
     max_count: int = 50_000,
     id_col: str = "id",
     label_col: str = "label",
+    count_col: str = "cnt",
 ) -> DataFrame:
     """BuildGazetteer corpus-count label filter
     (``kb/.../BuildGazetteer.java:92-107``): the KB-finalize step that
@@ -127,15 +128,18 @@ def filter_gazetteer_labels(
         cnt = F.lit(min_count).cast("bigint")
         joined = labels
     else:
-        cnt = F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
+        cnt = F.coalesce(F.col("__gcnt"), F.lit(0)).cast("bigint")
         joined = labels.join(
-            id_counts.select(F.col(id_col), F.col("cnt")), id_col, "left"
+            id_counts.select(F.col(id_col), F.col(count_col).alias("__gcnt")),
+            id_col,
+            "left",
         )
     first_tok = F.element_at(toks, 1)
     is_int = first_tok.rlike(r"^[+-]?\d{1,9}$")
+    # F.split never yields an empty array, so "tokenizes non-empty"
+    # reduces to the first token being non-blank
     keep = (
         (cnt >= min_count)
-        & (F.size(toks) > 0)
         & (first_tok != "")
         & ((F.size(toks) > 1) | is_int | (cnt <= max_count))
     )

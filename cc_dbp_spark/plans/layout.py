@@ -62,7 +62,8 @@ def write_bucketed_snapshot(
     (frontier.py module docs): with the seen side bucketed on the url,
     the confirm join shuffles ONLY the bloom-"maybe" candidate rows into
     the seen table's bucketing and streams each seen bucket once — NO
-    exchange of the O(seen) side (plan-asserted in tests/test_pipeline).
+    exchange of the O(seen) side (plan-asserted in
+    tests/test_serde_layout_streaming.py).
     Append-only deployments (Iceberg / Hive bucketed parquet) add one
     file per bucket per round.
 

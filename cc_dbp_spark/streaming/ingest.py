@@ -71,6 +71,21 @@ class StreamingCrawl:
         self.audits: list[DataFrame] = []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # driver-memory state cannot survive a restart or replay a
+        # skipped batch: fail LOUDLY on any out-of-order/retried
+        # batch_id instead of silently crawling against wrong state
+        # (a restartable deployment persists state via CrawlDriver's
+        # parquet/Iceberg snapshots and resumes the BATCH loop; this
+        # seam is the continuous-ingest surface, not the recovery one)
+        if int(batch_id) != len(self.rounds):
+            raise RuntimeError(
+                f"StreamingCrawl got micro-batch {batch_id} but has "
+                f"processed {len(self.rounds)} rounds — restart/retry "
+                "with a reused checkpointLocation is not resumable from "
+                "driver memory; start a fresh checkpoint dir (and a "
+                "fresh StreamingCrawl), or resume via CrawlDriver's "
+                "parquet state snapshots"
+            )
         cand = batch_df.select("url", F.col("depth").cast("int"))
         if self._carried_outlinks is not None:
             cand = cand.unionByName(self._carried_outlinks)
@@ -78,35 +93,18 @@ class StreamingCrawl:
             self.spark, cand, self.state, self.robots, self.docs,
             int(batch_id), self.cfg,
         )
-        batch = out["fetch_batch"].localCheckpoint(eager=False)
-        self._carried_outlinks = out["outlinks"].localCheckpoint(eager=False)
-        new_state = {
-            k: out[k].localCheckpoint(eager=False)
-            for k in ("frontier", "seen", "credit")
-        }
-        if out.get("filter") is not None:
-            new_state["filter"] = out["filter"].localCheckpoint(eager=False)
         audit = out["audit"].localCheckpoint(eager=False)
-        # ONE fused count barrier materializes every lazy checkpoint,
-        # mirroring CrawlDriver.run — everything derived from the
-        # micro-batch must materialize INSIDE this call (the micro-batch
-        # relation is not guaranteed replayable after the trigger)
-        counts = dict(
-            (r["k"], r["n"])
-            for r in batch.select(F.lit("sched").alias("k"))
-            .unionByName(self._carried_outlinks.select(F.lit("out").alias("k")))
-            .unionByName(new_state["frontier"].select(F.lit("front").alias("k")))
-            .unionByName(new_state["seen"].select(F.lit("seen").alias("k")))
-            .unionByName(new_state["credit"].select(F.lit("credit").alias("k")))
-            .unionByName(audit.select(F.lit("audit").alias("k")))
-            .groupBy("k")
-            .agg(F.count("*").alias("n"))
-            .collect()
+        # shared bookkeeping with CrawlDriver.run (advance_round_state):
+        # ONE fused count barrier; materialize_all_state because
+        # everything derived from the micro-batch must materialize
+        # INSIDE this call (the micro-batch relation is not guaranteed
+        # replayable after the trigger)
+        batch, outlinks, new_state, _ = fr.advance_round_state(
+            out, self._n_seen, extra_counts={"audit": audit},
+            materialize_all_state=True,
         )
-        self._n_seen += counts.get("sched", 0)
-        new_state["seen_nonempty"] = self._n_seen > 0
-        new_state["frontier_nonempty"] = counts.get("front", 0) > 0
-        new_state["n_seen"] = self._n_seen
+        self._carried_outlinks = outlinks
+        self._n_seen = new_state["n_seen"]
         self.state = new_state
         self.rounds.append(batch)
         self.audits.append(audit)

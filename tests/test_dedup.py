@@ -315,6 +315,7 @@ def test_connected_components_star_equals_min_label(spark):
             for _ in range(40)
         ]
         edges = [(a, b) for a, b in edges if a != b]
+        edges.append(("z90", "z90"))  # self-pair-only node -> singleton both ways
         pairs = spark.createDataFrame(edges, "id_a string, id_b string")
         want = {(r.id, r.comp) for r in dedup.connected_components(pairs, max_iter=60).collect()}
         got = {(r.id, r.comp) for r in dedup.connected_components_star(pairs).collect()}

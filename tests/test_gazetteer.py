@@ -119,6 +119,10 @@ def test_rule_tokenizer_penn_style_rules():
         'a "state-of-the-art" system': ["a", '"', "state-of-the-art", '"', "system"],
         # o'clock is connected, not a clitic
         "at 5 o'clock sharp,": ["at", "5", "o'clock", "sharp", ","],
+        # Unicode words survive adjacent punctuation intact (the core
+        # splitter uses the same Unicode alnum classes as the fast path)
+        "a café, naïve-looking résumé.": ["a", "café", ",", "naïve-looking", "résumé", "."],
+        "русский текст, пример!": ["русский", "текст", ",", "пример", "!"],
     }
     n_diverged = 0
     for text, want in cases.items():

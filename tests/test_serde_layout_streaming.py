@@ -202,8 +202,11 @@ def test_streaming_crawl_rounds_match_batch(spark, tmp_path):
     # three arriving candidate files (deterministic split), mtime-ordered
     src = tmp_path / "cand_stream"
     src.mkdir()
+    # pmod, not %: Spark's % preserves sign, which would silently drop
+    # ~1/3 of seeds (negative hashes) from every batch
     parts = [
-        seeds.filter(F.xxhash64("url") % 3 == i).toPandas() for i in range(3)
+        seeds.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i).toPandas()
+        for i in range(3)
     ]
     for i, pdf in enumerate(parts):
         p = src / f"batch_{i}.parquet"
