@@ -134,3 +134,45 @@ def test_parquet_manifest_catalog(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         cat.load(spark, "missing")
+
+
+def test_download_kb_files_skip_if_exists(tmp_path):
+    """S13 (SelectRelations.java:106-127): filename = last URL segment,
+    existing files skip (resume contract), writes commit atomically, and
+    a leftover .part from a crashed run is never trusted as complete."""
+    from cc_dbp_spark.sources import download as dl
+
+    calls = []
+
+    def fake_fetch(url):
+        calls.append(url)
+        return f"payload-of-{dl.url_filename(url)}".encode()
+
+    urls = [
+        "http://downloads.example/2016-10/labels_en.ttl.bz2",
+        "http://downloads.example/2016-10/instance_types_en.ttl.bz2",
+    ]
+    kb = tmp_path / "kb"
+    first = dl.download_kb_files(urls, kb, fetch=fake_fetch)
+    assert [r["action"] for r in first] == ["downloaded", "downloaded"]
+    assert (kb / "labels_en.ttl.bz2").read_bytes() == b"payload-of-labels_en.ttl.bz2"
+    assert len(calls) == 2
+
+    # second run: both exist -> skipped, transport untouched
+    second = dl.download_kb_files(urls, kb, fetch=fake_fetch)
+    assert [r["action"] for r in second] == ["skipped", "skipped"]
+    assert len(calls) == 2
+    assert second[0]["n_bytes"] == len(b"payload-of-labels_en.ttl.bz2")
+
+    # a crashed run's partial file does not satisfy skip-if-exists
+    (kb / ".types.ttl.bz2.part").write_bytes(b"trunc")
+    third = dl.download_kb_files(
+        ["http://downloads.example/2016-10/types.ttl.bz2"], kb, fetch=fake_fetch
+    )
+    assert third[0]["action"] == "downloaded"
+    assert (kb / "types.ttl.bz2").read_bytes() == b"payload-of-types.ttl.bz2"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dl.download_kb_files(["http://host.example/dir/"], kb, fetch=fake_fetch)
