@@ -47,9 +47,6 @@ class BloomSpec:
         self.bits_per_partition = 1 << max(13, (bits - 1).bit_length())
         self.num_hashes = max(1, round(self.bits_per_partition / per_part * math.log(2)))
 
-    def partition_of(self, hashes: np.ndarray) -> np.ndarray:
-        return (hashes.astype(np.uint64) % np.uint64(self.num_partitions)).astype(np.int32)
-
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
         """(n, k) bit positions within a partition's bitmap."""
         h1 = hashes.astype(np.uint64)
@@ -72,6 +69,17 @@ class BloomSpec:
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
         bits = np.frombuffer(bitmap, dtype=np.uint8)
+        if len(bits) * 8 != self.bits_per_partition:
+            # a snapshot built under a DIFFERENT BloomSpec (config drift
+            # across a resume) would probe the wrong bit positions and
+            # report seen urls as definitely-new — silent seen-set
+            # divergence. Crash loudly instead.
+            raise ValueError(
+                f"bloom bitmap is {len(bits) * 8} bits but this spec expects "
+                f"{self.bits_per_partition} — the filter snapshot was built "
+                "under a different bloom_capacity/fpr; resume with the "
+                "original config or rebuild the filter from the seen set"
+            )
         pos = self._positions(np.asarray(hashes, dtype=np.int64))
         hit = (bits[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1
         return hit.all(axis=1).astype(bool)
@@ -143,7 +151,7 @@ def update_bloom_df(prev_bloom_df, new_seen_df, spec: BloomSpec,
     O(new urls), not O(entire seen set). This is the filter-snapshot
     lifecycle the round loop checkpoints and resumes from.
     """
-    fresh = build_bloom_df(new_seen_df, spec)
+    fresh = build_bloom_df(new_seen_df, spec, hash_col=hash_col)
     both = prev_bloom_df.unionByName(fresh)
 
     def _or(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -157,6 +165,10 @@ def update_bloom_df(prev_bloom_df, new_seen_df, spec: BloomSpec,
 
 def empty_bloom_df(spark):
     return spark.createDataFrame([], "pid int, bitmap binary")
+
+
+# one live probe broadcast per SparkContext (see flag_with_broadcast_bloom)
+_last_probe_broadcast: dict[int, object] = {}
 
 
 def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
@@ -176,6 +188,18 @@ def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
     sc = candidates_df.sparkSession.sparkContext
     parts = {int(r["pid"]): bytes(r["bitmap"]) for r in bloom_df.collect()}
     bparts = sc.broadcast(parts)
+    # a multi-round loop calls this once per round with a fresh (up to
+    # ~64 MB) filter: release the PREVIOUS round's executor copies —
+    # its consumers were materialized by that round's checkpoint/count
+    # barrier, and unpersist (unlike destroy) stays re-broadcastable
+    # from the driver if some lazy plan does re-execute
+    prev = _last_probe_broadcast.pop(id(sc), None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass  # context shut down between rounds
+    _last_probe_broadcast[id(sc)] = bparts
 
     @F.pandas_udf(BooleanType())
     def _probe(h: pd.Series) -> pd.Series:

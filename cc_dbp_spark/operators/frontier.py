@@ -55,7 +55,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 from cc_dbp_spark.functions import parity
 from cc_dbp_spark.functions.priority import priority_score
@@ -117,16 +116,6 @@ def priority_col(depth, link_count):
         F.lit(1.0) / (F.lit(1.0) + F.col(depth).cast("double"))
         + F.lit(0.1) * F.log1p(F.col(link_count).cast("double"))
     )
-
-
-def _priority_udf():
-    if "priority" not in _udf_cache:
-        @F.pandas_udf(DoubleType())
-        def fn(depth: pd.Series, link_count: pd.Series) -> pd.Series:
-            return pd.Series(priority_score(depth.to_numpy(), link_count.to_numpy()))
-
-        _udf_cache["priority"] = fn
-    return _udf_cache["priority"]
 
 
 def _tie_salt_udf():
@@ -219,29 +208,6 @@ def _score_and_local_topk(max_buffer_rows: int = 2_000_000):
             yield prune(pd.concat(buf, ignore_index=True))
 
     return fn
-
-
-def _tie_udf():
-    if "tie" not in _udf_cache:
-        @F.pandas_udf(DoubleType())
-        def fn(url: pd.Series) -> pd.Series:
-            return pd.Series(parity.pseudo_random_from_string(url.fillna("")))
-
-        _udf_cache["tie"] = fn
-    return _udf_cache["tie"]
-
-
-def _salt_udf():
-    if "salt" not in _udf_cache:
-        from pyspark.sql.types import IntegerType
-
-        @F.pandas_udf(IntegerType())
-        def fn(url: pd.Series, num_splits: pd.Series) -> pd.Series:
-            out = parity.group_salt(url.fillna(""), num_splits.to_numpy(dtype=np.int64))
-            return pd.Series(out.astype(np.int32))
-
-        _udf_cache["salt"] = fn
-    return _udf_cache["salt"]
 
 
 def empty_state(spark: SparkSession) -> dict[str, DataFrame]:
@@ -394,16 +360,6 @@ def _robots_flag(merged: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def _robots_split(merged: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(allowed frontier, denied counts per host) — see :func:`_robots_flag`."""
-    flagged = _robots_flag(merged, robots)
-    allowed = flagged.filter(~F.col("denied")).drop("denied")
-    denied_counts = (
-        flagged.filter(F.col("denied")).groupBy("host").agg(F.count("*").alias("denied"))
-    )
-    return allowed, denied_counts
-
-
 def _raw_host_col(url: Column) -> Column:
     """Cheap native host approximation straight off the RAW url (no
     canonicalization): lowercased authority, port stripped. Used ONLY
@@ -414,6 +370,37 @@ def _raw_host_col(url: Column) -> Column:
     after = F.substring_index(u, "://", -1)  # full string when no scheme
     hp = F.substring_index(F.substring_index(after, "/", 1), "?", 1)
     return F.lower(F.substring_index(hp, ":", 1))
+
+
+def _budget_cols(
+    hosts: DataFrame, credit: DataFrame, robots: DataFrame, cfg: CrawlConfig,
+    credit_alias: str, broadcast_robots: bool,
+) -> DataFrame:
+    """ONE implementation of the budget math (credit coalesce + crawl-
+    delay validation + k = floor(credit/delay)) shared by the state-table
+    and fused-stats derivations — two hand-maintained copies would let
+    the fused path desynchronize from the reference composition the
+    differential tests compare against."""
+    rb = robots.select("host", "crawl_delay_s")
+    if broadcast_robots:
+        rb = F.broadcast(rb)
+    return (
+        hosts.join(credit, "host", "left")
+        .join(rb, "host", "left")
+        .select(
+            "host",
+            (F.coalesce(F.col("credit"), F.lit(0.0)) + F.lit(cfg.round_budget_s)).alias(
+                credit_alias
+            ),
+            F.when(
+                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
+                F.lit(cfg.default_crawl_delay_s),
+            )
+            .otherwise(F.col("crawl_delay_s"))
+            .alias("delay"),
+        )
+        .withColumn("k", F.floor(F.col(credit_alias) / F.col("delay")).cast("int"))
+    )
 
 
 def _budgets_from_state(
@@ -428,49 +415,19 @@ def _budgets_from_state(
     hosts = credit.select("host").unionByName(
         robots.select("host")
     ).distinct()
-    return (
-        hosts.join(credit, "host", "left")
-        .join(robots.select("host", "crawl_delay_s"), "host", "left")
-        .select(
-            "host",
-            (F.coalesce(F.col("credit"), F.lit(0.0)) + F.lit(cfg.round_budget_s)).alias(
-                "credit0"
-            ),
-            F.when(
-                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
-                F.lit(cfg.default_crawl_delay_s),
-            )
-            .otherwise(F.col("crawl_delay_s"))
-            .alias("delay"),
-        )
-        .withColumn("k", F.floor(F.col("credit0") / F.col("delay")).cast("int"))
-    )
+    return _budget_cols(hosts, credit, robots, cfg, "credit0", broadcast_robots=False)
 
 
 def _host_budgets_from_stats(
     host_stats: DataFrame, credit: DataFrame, robots: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
-    """Like :func:`_host_budgets` but from the fused per-host stats table
-    (its host set IS the active set: hosts with candidates or denials)."""
-    b = (
-        host_stats.select("host")
-        .join(credit, "host", "left")
-        .join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
-        .select(
-            "host",
-            (F.coalesce(F.col("credit"), F.lit(0.0)) + F.lit(cfg.round_budget_s)).alias(
-                "credit"
-            ),
-            F.when(
-                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
-                F.lit(cfg.default_crawl_delay_s),
-            )
-            .otherwise(F.col("crawl_delay_s"))
-            .alias("delay"),
-        )
-        .withColumn("k", F.floor(F.col("credit") / F.col("delay")).cast("int"))
+    """Like :func:`_budgets_from_state` but over the fused per-host stats
+    table's host set (which IS the active set: hosts with candidates or
+    denials this round)."""
+    return _budget_cols(
+        host_stats.select("host"), credit, robots, cfg, "credit",
+        broadcast_robots=True,
     )
-    return b
 
 
 def _topk_per_host(
@@ -491,8 +448,19 @@ def _topk_per_host(
     aggregate per-host counts (audit) pass it in so the detection pass
     isn't a second full scan of `allowed`.
     """
-    eligible = allowed.join(budgets.select("host", "k", "delay"), "host", "inner").filter(
-        F.col("k") > 0
+    # LEFT join + defaults: budgets carries only hosts with non-default
+    # state (credit/robots); everyone else gets the default politeness
+    # budget — the same coalesce the fused path applies, and the
+    # contract _budgets_from_state documents. An inner join here would
+    # silently drop unknown hosts from the schedule.
+    default_k = int(cfg.round_budget_s / cfg.default_crawl_delay_s)
+    eligible = (
+        allowed.join(budgets.select("host", "k", "delay"), "host", "left")
+        .withColumn("k", F.coalesce(F.col("k"), F.lit(default_k)))
+        .withColumn(
+            "delay", F.coalesce(F.col("delay"), F.lit(float(cfg.default_crawl_delay_s)))
+        )
+        .filter(F.col("k") > 0)
     )
 
     # hot-host detection on pre-UDF columns (counting must not pay the
@@ -1111,7 +1079,9 @@ class CrawlDriver:
         self.cfg = cfg
         self.state_dir = pathlib.Path(state_dir) if state_dir else None
 
-    def _ckpt(self, rnd: int, out: dict, candidates_next: DataFrame) -> None:
+    def _ckpt(
+        self, rnd: int, out: dict, candidates_next: DataFrame, n_seen: int = 0
+    ) -> None:
         if self.state_dir is None:
             return
         d = self.state_dir / f"round_{rnd:04d}"
@@ -1123,8 +1093,9 @@ class CrawlDriver:
             # rebuilding the membership filter from the full seen set
             out["filter"].write.mode("overwrite").parquet(str(d / "filter"))
         candidates_next.write.mode("overwrite").parquet(str(d / "next_candidates"))
-        # per-partition lineage: which spark partition wrote which rows
-        (d / "COMMIT").write_text(json.dumps({"round": rnd}))
+        # per-partition lineage: which spark partition wrote which rows;
+        # n_seen rides the commit marker so a resume restores the counter
+        (d / "COMMIT").write_text(json.dumps({"round": rnd, "n_seen": n_seen}))
 
     def latest_checkpoint(self) -> int | None:
         if self.state_dir is None or not self.state_dir.exists():
@@ -1144,12 +1115,21 @@ class CrawlDriver:
         }
         if (d / "filter").exists():
             state["filter"] = self.spark.read.parquet(str(d / "filter"))
+        commit = json.loads((d / "COMMIT").read_text())
+        # older checkpoints (pre-counter) fall back to counting the seen
+        # table once — without this the resumed run's n_seen restarts at
+        # 0 and the final state undercounts every pre-resume round
+        state["n_seen"] = commit.get("n_seen", None)
+        if state["n_seen"] is None:
+            state["n_seen"] = state["seen"].count()
         return state, self.spark.read.parquet(str(d / "next_candidates"))
 
     def run(self, seeds: DataFrame, start_round: int = 0, resume: bool = False):
         """Run rounds to completion; returns aggregate outputs dict."""
         if resume and (last := self.latest_checkpoint()) is not None:
             state, candidates = self.resume_state(last)
+            state["seen_nonempty"] = state["n_seen"] > 0
+            # frontier_nonempty stays unset: run_round probes it once
             start_round = last + 1
         else:
             state = empty_state(self.spark)
@@ -1178,7 +1158,15 @@ class CrawlDriver:
             n_sched = counts.get("sched", 0)
             n_out = counts.get("out", 0)
             out["fetch_batch"] = batch
-            self._ckpt(rnd, out, candidates)
+            # _ckpt must write the MATERIALIZED checkpoints, not the
+            # pre-checkpoint plans (whose frontier anti-join / seen
+            # union would otherwise execute a second time per round
+            # just to feed the parquet writer)
+            for k in ("frontier", "seen", "credit"):
+                out[k] = state[k]
+            if state.get("filter") is not None:
+                out["filter"] = state["filter"]
+            self._ckpt(rnd, out, candidates, n_seen=state["n_seen"])
             batches.append(batch)
             audits.append(out["audit"].localCheckpoint(eager=False))
             emitted.append(out["emitted"].localCheckpoint(eager=False))

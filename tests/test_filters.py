@@ -139,3 +139,33 @@ def test_cuckoo_saturation_degrades_to_maybe(spark):
     )
     new, maybe = flt.prune_with_cuckoo(probes, snap, 1)
     assert new.count() == 0 and maybe.count() == 500
+
+
+def test_update_bloom_df_forwards_hash_col(spark):
+    """update_bloom_df must build the fresh bitmaps from the CALLER'S
+    hash column (it used to silently assume 'url_hash', producing false
+    negatives when the new-seen frame named it differently)."""
+    from cc_dbp_spark.operators import filters as flt
+
+    spec = flt.BloomSpec(1 << 12, num_partitions=4)
+    df = spark.createDataFrame([(i * 7919,) for i in range(50)], "h bigint")
+    bloom = flt.update_bloom_df(flt.empty_bloom_df(spark), df, spec, hash_col="h")
+    probe = spark.createDataFrame([(i * 7919,) for i in range(50)], "h bigint")
+    _, maybe = flt.prune_with_bloom(probe, bloom, spec, hash_col="h")
+    assert maybe.count() == 50  # every inserted hash reports maybe-seen
+
+
+def test_bloom_probe_rejects_mismatched_spec(spark):
+    """A filter snapshot built under a different BloomSpec must crash
+    the probe loudly (silently probing wrong bit positions would report
+    seen urls as definitely-new — seen-set divergence on resume)."""
+    import pytest as _pt
+
+    from cc_dbp_spark.operators import filters as flt
+
+    big = flt.BloomSpec(1 << 22, num_partitions=4)
+    small = flt.BloomSpec(1 << 14, num_partitions=4)
+    assert big.bits_per_partition != small.bits_per_partition
+    bitmap = big.build_bitmap(np.arange(10, dtype=np.int64))
+    with _pt.raises(ValueError, match="different bloom_capacity"):
+        small.probe(np.arange(10, dtype=np.int64), bitmap)

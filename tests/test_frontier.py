@@ -173,6 +173,9 @@ def test_resume_equals_straight_run(spark, fixture_dir, tmp_path_factory):
     resumed = d2.run(seeds, resume=True)
     got_seen = {(r["url"], r["round_seen"]) for r in resumed["state"]["seen"].collect()}
     assert got_seen == want_seen
+    # the n_seen counter survives the resume (it used to restart at 0,
+    # undercounting every pre-resume round in the returned state)
+    assert resumed["state"]["n_seen"] == straight["state"]["n_seen"] == len(want_seen)
 
 
 def test_fused_round_equals_reference_composition(spark, fixture_dir):
