@@ -1224,7 +1224,7 @@ _LABELS_SQL = ", ".join(
 # (applied by the mention pipeline; the raw gazetteer query is unbounded)
 _P8_BOUNDS_SQL = """
     WHERE length(text) BETWEEN 2 AND 400
-      AND len(string_split(text, ' ')) BETWEEN 2 AND 100"""
+      AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 2 AND 100"""
 
 _MENTION_CTE_TMPL = f"""
   WITH sp AS (
@@ -1277,12 +1277,19 @@ _MENTION_CTE_TMPL = f"""
     FROM best WHERE rn = 1
   ),
   triples(arg1, rel, arg2) AS (VALUES {_TRIPLES_SQL}),
+  fa AS (
+    SELECT arg1, arg2, string_agg(rel, ',' ORDER BY rel) AS rel_fwd
+    FROM triples GROUP BY 1, 2),
+  ra AS (
+    SELECT arg2 AS a1, arg1 AS a2,
+           string_agg('<' || rel, ',' ORDER BY rel) AS rel_rev
+    FROM triples GROUP BY 1, 2),
   labeled AS (
-    SELECT r.*, concat_ws(',', f.rel, '<' || rv.rel) AS relations,
-           concat_ws(',', f.rel, '<' || rv.rel) <> '' AS is_positive
+    SELECT r.*, concat_ws(',', f.rel_fwd, rv.rel_rev) AS relations,
+           concat_ws(',', f.rel_fwd, rv.rel_rev) <> '' AS is_positive
     FROM rewritten r
-    LEFT JOIN triples f ON f.arg1 = r.id1 AND f.arg2 = r.id2
-    LEFT JOIN triples rv ON rv.arg1 = r.id2 AND rv.arg2 = r.id1
+    LEFT JOIN fa f ON f.arg1 = r.id1 AND f.arg2 = r.id2
+    LEFT JOIN ra rv ON rv.a1 = r.id1 AND rv.a2 = r.id2
   )
 """
 
@@ -1585,7 +1592,7 @@ def oracle_sql() -> dict[str, str]:
     tc = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
     bpe = "len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])'))"
     nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
-    punct = "length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g'))"
+    punct = "length(regexp_replace(text, '[\\p{L}\\p{N}\\s]+', '', 'g'))"
     punct_ratio = f"CASE WHEN {nonspace} > 0 THEN {punct} * 1.0 / {nonspace} ELSE 0.0 END"
     norm_text = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     hits = {lang: _stop_hits_sql(lang) for lang in sorted(ts.STOPWORDS)}
@@ -2286,7 +2293,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sents AS (
               SELECT id1, id2, positive, chunk, CAST(i AS INT) AS sent_ndx,
-                     regexp_split_to_array(trim(members[i + 1]), '\\s+') AS toks
+                     regexp_split_to_array(
+                       trim(regexp_replace(members[i + 1],
+                                           '(ARGONE|ARGTWO)', ' \\1 ', 'g')),
+                       '\\s+') AS toks
               FROM chunks, unnest(range(0, len(members))) AS u(i)
               WHERE len(members) > 0
             ),

@@ -37,9 +37,13 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of non-space chars that are punctuation."""
+    """Fraction of non-space chars that are punctuation. Unicode letter/
+    digit classes (\\p{L}\\p{N}) — an ASCII class would score every
+    accented/non-Latin LETTER as punctuation, tanking quality_score on
+    exactly the multilingual corpora the langid path targets (same
+    classes in Java regex and the DuckDB RE2 oracle, value-verified)."""
     nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]+", ""))
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]+", ""))
     return F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(F.lit(0.0))
 
 

@@ -90,8 +90,10 @@ def sentence_bounds(
     keep sentences with whitespace-token count in [min_tokens, max_tokens]
     and char length in [min_chars, max_chars]. Defaults are the
     reference's (RelexConfig.java:145-163: 2/100 tokens, 2/400 chars);
-    whitespace tokens stand in for the reference's Token annotations."""
-    ntok = F.size(F.split(F.col(sent_col), " "))
+    whitespace tokens stand in for the reference's Token annotations.
+    Token counting splits on WHITESPACE RUNS (a literal-space split
+    counted empty tokens at double spaces and missed tabs entirely)."""
+    ntok = F.size(F.split(F.trim(F.col(sent_col)), r"\s+"))
     nch = F.length(F.col(sent_col))
     return sents.filter(
         ntok.between(min_tokens, max_tokens) & nch.between(min_chars, max_chars)
@@ -196,13 +198,27 @@ def mention_pairs(sents: DataFrame, entries) -> DataFrame:
 def relation_join(pairs: DataFrame, triples: DataFrame) -> DataFrame:
     """Attach GT relations: forward (id1->id2) as-is, reverse prefixed
     '<' (GroundTruth direction encoding, GroundTruth.java:45-46,341-355).
-    triples: (arg1, rel, arg2) — small, broadcast both probes."""
-    fwd = triples.select(
-        F.col("arg1").alias("id1"), F.col("arg2").alias("id2"), F.col("rel").alias("rel_fwd")
-    )
-    rev = triples.select(
-        F.col("arg2").alias("id1"), F.col("arg1").alias("id2"),
-        F.concat(F.lit("<"), F.col("rel")).alias("rel_rev"),
+    triples: (arg1, rel, arg2) — small, broadcast both probes.
+
+    Relations per direction are AGGREGATED per entity pair before the
+    join (sorted, comma-joined) — GroundTruth.getRelations returns the
+    relation SET for a pair, so a pair holding several triples (e.g.
+    after taxonomy_expand adds super-relations) must stay ONE mention
+    row with 'r1,r2' rather than fanning out into one row per relation,
+    which would inflate every downstream mention/group count."""
+    fwd = triples.groupBy(
+        F.col("arg1").alias("id1"), F.col("arg2").alias("id2")
+    ).agg(F.concat_ws(",", F.array_sort(F.collect_set("rel"))).alias("rel_fwd"))
+    rev = triples.groupBy(
+        F.col("arg2").alias("id1"), F.col("arg1").alias("id2")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_set("rel")),
+                lambda r: F.concat(F.lit("<"), r),
+            ),
+        ).alias("rel_rev")
     )
     j = (
         pairs.join(F.broadcast(fwd), ["id1", "id2"], "left")
@@ -264,7 +280,6 @@ def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:
     via left-anti join, collect the deduped mention set."""
     stats = labeled.groupBy("id1", "id2").agg(
         F.count("*").alias("n_mentions"),
-        F.max(F.col("is_positive").cast("int")).cast("boolean").alias("positive"),
     )
     small = stats.filter(F.col("n_mentions") < min_mention_set).select("id1", "id2")
     kept = labeled.join(small, ["id1", "id2"], "left_anti")
@@ -352,10 +367,9 @@ def relex_stats(labeled: DataFrame) -> DataFrame:
         .groupBy("relation")
         .agg(F.count("*").alias("n_mentions"))
     )
-    totals = labeled.agg(
-        F.count("*").alias("n_mentions"),
-        F.sum(F.col("is_positive").cast("int")).alias("n_positive"),
-    ).select(
+    # the positive total is recoverable as sum over per-relation rows /
+    # relations != '' — keep the rollup schema at (relation, n_mentions)
+    totals = labeled.agg(F.count("*").alias("n_mentions")).select(
         F.lit("__all__").alias("relation"),
         "n_mentions",
     )
@@ -441,13 +455,20 @@ def encode_tensor_instances(
 
     * ``words``      — vocab index per token over ALL sentences of the
       chunk concatenated (-1 = OOV), tokens whitespace-split from the
-      ARGONE/ARGTWO-rewritten context (M13 makes each arg ONE token).
+      ARGONE/ARGTWO-rewritten context with the placeholders forced to
+      standalone tokens (punctuation the rule tokenizer matched through
+      splits off as its own OOV token, as the reference's re-tokenize
+      would do).
     * ``pos1/pos2``  — position-embedding index per token relative to
       the arg span: ``clamp(max_pos/2 - |wi - arg|, 0, max_pos-1)``
       (``toPositionEmbeddingNdx``: 0 inside the span, negative offsets
       clamp at 0; single-token args make before/after symmetric).
     * ``pool_starts/pool_ends`` — per sentence, the arg-covering span
-      clamped to [1, n_tokens-1] (the mean-pool piece).
+      clamped to [1, n_tokens-1] — the reference's EXACT pool piece
+      (``RelexTensors.java:149-151``: max(1, span.start),
+      min(tokens.size()-1, span.end)), including its boundary behavior
+      (a 2-token sentence yields the reference's own empty [1,1)
+      piece).
     * ``sent_starts`` — cumulative token offset per sentence.
     * ``positive``   — the chunk's ground-truth flag (stand-in for the
       one-hot gtRels row; the groups pipeline carries a boolean label).
@@ -481,7 +502,17 @@ def encode_tensor_rows(
     :func:`tensor_chunk_rows` so no stage ever holds a whole mention
     set in one row."""
     half = max_pos // 2
-    sent = sent_rows.withColumn("toks", F.split(F.trim(F.col("ctx")), r"\s+"))
+    # force the placeholders to stand alone as whitespace tokens before
+    # splitting: the rule tokenizer matches entities ADJACENT to
+    # punctuation, so the char-splice rewrite can produce 'ARGONE,' —
+    # the reference's annotator re-tokenizes the sentence and still
+    # resolves the arg span (RelexTensors.java:134-142), and this
+    # padding is the whitespace-substrate equivalent (the peeled
+    # punctuation becomes its own token, OOV like any unseen word).
+    # Without it every punctuation-adjacent mention silently fell into
+    # the skipped-mention filter below.
+    padded = F.regexp_replace(F.col("ctx"), "(ARGONE|ARGTWO)", " $1 ")
+    sent = sent_rows.withColumn("toks", F.split(F.trim(padded), r"\s+"))
     sent = (
         sent.withColumn("a1", F.array_position("toks", "ARGONE").cast("int") - 1)
         .withColumn("a2", F.array_position("toks", "ARGTWO").cast("int") - 1)

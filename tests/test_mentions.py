@@ -232,3 +232,57 @@ def test_downsample_to_ratio_no_retune_when_within_tolerance(spark):
     )
     assert retain == 1.0
     assert kept_df.count() == 2
+
+
+def test_relation_join_aggregates_multi_relation_pairs(spark):
+    """A pair holding several GT triples (taxonomy_expand shape) stays
+    ONE mention row with the sorted relation set — not one row per
+    relation (GroundTruth.getRelations returns the SET)."""
+    pairs = spark.createDataFrame(
+        [(1, 0, "e:a", "e:b", 0, 1, 2, 3, "s", "r")],
+        "doc_id bigint, sent_id int, id1 string, id2 string, "
+        "s1 int, e1 int, s2 int, e2 int, sentence string, rewritten string",
+    )
+    triples = spark.createDataFrame(
+        [("e:a", "rel:x", "e:b"), ("e:a", "rel:sup", "e:b"), ("e:b", "rel:back", "e:a")],
+        "arg1 string, rel string, arg2 string",
+    )
+    rows = M.relation_join(pairs, triples).collect()
+    assert len(rows) == 1
+    assert rows[0].relations == "rel:sup,rel:x,<rel:back"
+    assert rows[0].is_positive
+
+
+def test_tensor_encode_resolves_punctuation_adjacent_args(spark):
+    """The rule tokenizer matches entities next to punctuation, so the
+    rewrite can produce 'ARGTWO,' — the encode must still resolve the
+    placeholder (the reference re-tokenizes and finds the span;
+    RelexTensors.java:134-142) instead of silently skipping the
+    sentence."""
+    rows = spark.createDataFrame(
+        [("e:a", "e:b", True, 0, 0, "use ARGONE with ARGTWO, then rest")],
+        "id1 string, id2 string, positive boolean, chunk int, "
+        "sent_ndx int, ctx string",
+    )
+    vocab = spark.createDataFrame(
+        [("use", 0), ("with", 1), ("then", 2), ("rest", 3)], "word string, widx int"
+    )
+    out = M.encode_tensor_rows(rows, vocab).collect()
+    assert len(out) == 1
+    # tokens: use ARGONE with ARGTWO , then rest -> the comma is its own
+    # OOV token; words row = [0, -1, 1, -1, -1, 2, 3]
+    assert list(out[0].words) == [0, -1, 1, -1, -1, 2, 3]
+    assert list(out[0].pos1)[1] == 32 and list(out[0].pos2)[3] == 32
+
+
+def test_sentence_bounds_counts_whitespace_runs(spark):
+    """Double spaces are not tokens; tabs separate tokens (the old
+    literal-space split counted 'a  b' as 3 tokens and 'a\\tb' as 1)."""
+    sents = spark.createDataFrame(
+        [(1, 0, "a  b"), (2, 0, "a\tb"), (3, 0, "one"), (4, 0, "x " + "y " * 99 + "z")],
+        "doc_id bigint, sent_id int, sentence string",
+    )
+    kept = {r.doc_id for r in M.sentence_bounds(sents).collect()}
+    # 'a  b' = 2 tokens (kept), tab-separated = 2 tokens (kept),
+    # 'one' = 1 token (dropped), 101 tokens (dropped)
+    assert kept == {1, 2}
