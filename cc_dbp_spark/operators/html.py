@@ -109,7 +109,13 @@ class _Extractor(HTMLParser):
                 self._kind, self._href = "link", href
             else:
                 self._open.append(["link", len(self._buf), href])
-        elif tag in _FMT_TAGS and self._kind is not None:
+        elif tag in _FMT_TAGS:
+            if self._kind is None:
+                # formatting opening before any block: lazily start a
+                # paragraph exactly as bare text does (handle_data) —
+                # otherwise leading inline runs of block-less documents
+                # were silently dropped while their text survived
+                self._kind = "paragraph"
             self._open.append(["text_formatting", len(self._buf), None])
 
     def handle_endtag(self, tag):
@@ -302,28 +308,31 @@ def _extract_one(
                 continue
         elif kind == "paragraph" and len(text.split()) < min_k_words:
             continue
-        if kind == "link":
+        spans.append(
+            {
+                "kind": kind,
+                "text": text,
+                "media_ref": href if kind == "link" else None,
+                "offset": offset,
+            }
+        )
+        # inline runs emit for EVERY kept block — including standalone
+        # link blocks, whose nested anchors/formatting (malformed but
+        # common markup) carry outlink hrefs of their own
+        for ik, s, e, ih in sorted(inline, key=lambda t: (t[1], t[2])):
+            frag = text[s:e]
+            lead = len(frag) - len(frag.lstrip())
+            frag = frag.strip()
+            if not frag:
+                continue
             spans.append(
-                {"kind": "link", "text": text, "media_ref": href, "offset": offset}
+                {
+                    "kind": ik,
+                    "text": frag,
+                    "media_ref": ih,
+                    "offset": offset + s + lead,
+                }
             )
-        else:
-            spans.append(
-                {"kind": kind, "text": text, "media_ref": None, "offset": offset}
-            )
-            for ik, s, e, ih in sorted(inline, key=lambda t: (t[1], t[2])):
-                frag = text[s:e]
-                lead = len(frag) - len(frag.lstrip())
-                frag = frag.strip()
-                if not frag:
-                    continue
-                spans.append(
-                    {
-                        "kind": ik,
-                        "text": frag,
-                        "media_ref": ih,
-                        "offset": offset + s + lead,
-                    }
-                )
         offset += len(text) + 1
     return spans
 

@@ -141,3 +141,31 @@ def test_block_features_link_and_text_density():
     w, ld, td = H._block_features(ex2.blocks)[0]
     assert w == 100 and ld == 0.0
     assert abs(td - 100 / -(-199 // 80)) < 1e-9
+
+
+def test_leading_inline_run_in_bare_text():
+    """Formatting that opens before any block lazily starts a paragraph
+    (like bare text does): the run used to be dropped while its text
+    survived."""
+    from cc_dbp_spark.operators.html import _extract_one
+
+    spans = _extract_one(
+        "u", "<body><b>Bold</b> plus quite a few more words here</body>"
+    )
+    kinds = [(s["kind"], s["text"]) for s in spans]
+    assert ("paragraph", "Bold plus quite a few more words here") in kinds
+    assert ("text_formatting", "Bold") in kinds
+
+
+def test_nested_anchor_inside_link_block_keeps_inner_href():
+    """A standalone link block emits its collected inline runs too —
+    the nested anchor's href is an outlink signal that was thrown away."""
+    from cc_dbp_spark.operators.html import _extract_one
+
+    spans = _extract_one(
+        "u", '<body><a href="http://x.ex/outer">outer '
+             '<a href="http://y.ex/inner">inner</a> tail</a></body>'
+    )
+    links = {(s["text"], s["media_ref"]) for s in spans if s["kind"] == "link"}
+    assert ("outer inner tail", "http://x.ex/outer") in links
+    assert ("inner", "http://y.ex/inner") in links
