@@ -1404,7 +1404,8 @@ def _multiround_oracle_sql(fd: str, ties_path: str, n_rounds: int = 3) -> str:
           FROM all_{r} GROUP BY 1, 2),
         bud_{r} AS (
           SELECT h.host, COALESCE(c.credit, 0.0) + 10.0 AS credit0,
-                 CASE WHEN rb.crawl_delay_s IS NULL OR rb.crawl_delay_s <= 0
+                 CASE WHEN rb.crawl_delay_s IS NULL OR isnan(rb.crawl_delay_s)
+                           OR rb.crawl_delay_s <= 0
                       THEN 1.0 ELSE rb.crawl_delay_s END AS delay
           FROM (SELECT host FROM cred_{r} UNION SELECT host FROM robots) h
           LEFT JOIN cred_{r} c USING (host)

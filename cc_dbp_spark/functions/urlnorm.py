@@ -104,6 +104,13 @@ def with_canonical(df, src, out: str = "url", host: str | None = None,
     Use this on hot paths; ``canonicalize_col`` remains for one-off columns.
     """
     c = F.col
+    clash = [col for col in df.columns if col.startswith("__cn_")]
+    if clash:
+        # the staged projections would silently overwrite and then drop
+        # these caller columns at return
+        raise ValueError(
+            f"with_canonical owns the __cn_* namespace; input carries {clash}"
+        )
     src_col = c(src) if isinstance(src, str) else src
     d = df.withColumn("__cn_u0", F.substring_index(F.trim(src_col), "#", 1))
     d = d.withColumn(

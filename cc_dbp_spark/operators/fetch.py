@@ -26,7 +26,10 @@ FETCH_SCHEMA = (
     "url string, status string, attempts int, error string, payload binary"
 )
 
+_FETCH_COLS = ["url", "status", "attempts", "error", "payload"]
+
 MAX_ATTEMPTS = 3  # SaveCommonCrawlBase.java:103-111
+RETRY_SLEEP_S = 2.0  # SaveCommonCrawlBase.java:108 (2 s between attempts)
 
 
 def fetch_batch(
@@ -34,9 +37,19 @@ def fetch_batch(
     fetcher: Callable[[str], bytes],
     url_col: str = "url",
     max_attempts: int = MAX_ATTEMPTS,
+    retry_sleep_s: float = RETRY_SLEEP_S,
 ) -> DataFrame:
     """Fetch every URL with bounded retries; one row per URL with
-    status in {fetched, failed}, attempt count, and last error."""
+    status in {fetched, failed}, attempt count, and last error.
+
+    ``retry_sleep_s`` is the reference's fixed 2 s inter-attempt sleep
+    (an immediate tight-loop retry hammers the struggling host and
+    defeats the retry's purpose); fixture fetchers pass 0. Connect/read
+    TIMEOUTS are the fetcher callable's responsibility — it owns the
+    socket (build the production fetcher with ``timeout=5`` per the
+    reference contract); nothing in this stage can bound an arbitrary
+    callable without a watchdog thread per row."""
+    import time as _time
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,6 +63,8 @@ def fetch_batch(
                         break
                     except Exception as e:  # noqa: BLE001 - histogram contract
                         err = f"{type(e).__name__}: {e}"[:200]
+                        if attempts < max_attempts and retry_sleep_s > 0:
+                            _time.sleep(retry_sleep_s)
                 rows.append(
                     {
                         "url": url,
@@ -59,7 +74,9 @@ def fetch_batch(
                         "payload": payload,
                     }
                 )
-            yield pd.DataFrame(rows)
+            # explicit columns: an EMPTY batch otherwise yields a
+            # zero-column frame that breaks the Arrow schema contract
+            yield pd.DataFrame(rows, columns=_FETCH_COLS)
 
     return batch.select(url_col).mapInPandas(process, FETCH_SCHEMA)
 

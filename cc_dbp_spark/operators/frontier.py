@@ -393,8 +393,10 @@ def _budget_cols(
                 credit_alias
             ),
             F.when(
-                F.col("crawl_delay_s").isNull() | (F.col("crawl_delay_s") <= 0),
-                F.lit(cfg.default_crawl_delay_s),
+                F.col("crawl_delay_s").isNull()
+                | F.isnan("crawl_delay_s")  # NaN evades <=0; robots.py
+                | (F.col("crawl_delay_s") <= 0),  # rejects it, external
+                F.lit(cfg.default_crawl_delay_s),  # tables might not
             )
             .otherwise(F.col("crawl_delay_s"))
             .alias("delay"),

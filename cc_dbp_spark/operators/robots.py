@@ -9,16 +9,19 @@ subset):
 
 * user-agent groups: a group applies if its ``User-agent`` matches the
   configured agent token (case-insensitive substring) or is ``*``; the
-  MOST SPECIFIC matching group wins (longest agent token), ``*`` only
-  when nothing else matches.
+  MOST SPECIFIC matching groups win (longest agent token), ``*`` only
+  when nothing else matches, and every group at the winning
+  specificity MERGES (RFC 9309: duplicate 'User-agent: *' sections
+  combine their rules).
 * ``Disallow:`` / ``Allow:`` path prefixes collected per group; empty
   ``Disallow:`` means allow-all (contributes no prefix). Rule
   EVALUATION (in the scheduler's politeness join and the pure-Python
   oracle) is RFC-9309 longest-match: the most specific (longest)
   matching prefix among allow+deny decides; ties go to allow; a path
   matching neither list is allowed.
-* ``Crawl-delay: N`` seconds (float); invalid/missing -> null (the
-  scheduler substitutes its default).
+* ``Crawl-delay: N`` seconds (finite float; 'nan'/'inf' count as
+  invalid); invalid/missing -> null (the scheduler substitutes its
+  default). With merged duplicate groups the first group's delay wins.
 * unknown directives and comments (``# ...``) ignored.
 
 Parsing is a ``mapInPandas`` batch over (host, body) rows — pure
@@ -30,6 +33,7 @@ crawl_delay_s double``.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -78,13 +82,23 @@ def parse_robots_body(body: str, agent: str = "ccdbp") -> dict:
                 cur["allow"].append(val)
         elif key == "crawl-delay":
             try:
-                cur["delay"] = float(val)
+                delay = float(val)
             except ValueError:
-                pass
+                continue
+            # float('nan')/'inf' parse but evade every downstream
+            # <=0/null validation (NaN <= 0 is false), silently starving
+            # the host; treat web-controlled non-finite values as invalid
+            if math.isfinite(delay):
+                cur["delay"] = delay
 
-    best: dict | None = None
+    # specificity per group, then MERGE every group at the winning
+    # specificity: RFC 9309 requires rules from duplicate matching
+    # groups (two 'User-agent: *' sections) to combine — first-wins
+    # silently discarded the later sections' rules, a politeness
+    # violation on exactly the surface the north rule targets
     best_spec = -1
     for g in groups:
+        g["spec"] = -1
         for a in g["agents"]:
             if a == "*":
                 spec = 0
@@ -95,14 +109,23 @@ def parse_robots_body(body: str, agent: str = "ccdbp") -> dict:
                 spec = len(a)
             else:
                 continue
-            if spec > best_spec:
-                best, best_spec = g, spec
-    if best is None:
+            g["spec"] = max(g["spec"], spec)
+        best_spec = max(best_spec, g["spec"])
+    if best_spec < 0:
         return {"deny_prefixes": [], "allow_prefixes": [], "crawl_delay_s": None}
+    deny: list[str] = []
+    allow: list[str] = []
+    delay_out: float | None = None
+    for g in groups:
+        if g["spec"] == best_spec:
+            deny.extend(g["deny"])
+            allow.extend(g["allow"])
+            if delay_out is None:
+                delay_out = g["delay"]
     return {
-        "deny_prefixes": list(best["deny"]),
-        "allow_prefixes": list(best["allow"]),
-        "crawl_delay_s": best["delay"],
+        "deny_prefixes": deny,
+        "allow_prefixes": allow,
+        "crawl_delay_s": delay_out,
     }
 
 

@@ -35,7 +35,10 @@ def sort_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
 
 def spans_sorted_ok(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     """(doc_id, ok): true iff offsets are non-decreasing — the
-    span-sequence equality precondition checked after every operator."""
+    span-sequence equality precondition checked after every operator.
+    NULL offsets make the order unverifiable and flag NOT ok (without
+    the coalesce a three-valued NULL comparison would make ``ok`` NULL,
+    which count/min audits silently skip)."""
     n = F.size(F.col(spans_col))
     idx = F.sequence(F.lit(0), n - 2)
     bad = F.exists(
@@ -43,7 +46,8 @@ def spans_sorted_ok(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         lambda i: F.element_at(F.col(spans_col), i + 1)["offset"]
         > F.element_at(F.col(spans_col), i + 2)["offset"],
     )
-    return docs.select("doc_id", F.when(n <= 1, F.lit(True)).otherwise(~bad).alias("ok"))
+    ok = F.when(n <= 1, F.lit(True)).otherwise(F.coalesce(~bad, F.lit(False)))
+    return docs.select("doc_id", ok.alias("ok"))
 
 
 def filter_kinds(docs: DataFrame, kinds, spans_col: str = "spans") -> DataFrame:
@@ -62,6 +66,11 @@ def split_documents(docs: DataFrame, chunk: int, spans_col: str = "spans") -> Da
     starts at 0 (Document.java:418-441 re-offset contract).
 
     Output: (doc_id, part, spans) with doc_id suffixed ``#part``.
+    The ``#`` separator is collision-free for this engine's ids by
+    construction: crawl doc_ids are CANONICAL urls, and canonicalization
+    strips fragments, so ``#`` cannot occur in an input id. Callers with
+    arbitrary external ids that may contain ``#`` (or re-splitting
+    already-split output) should rename ids first.
     """
     n = F.size(F.col(spans_col))
     nparts = F.ceil(n / F.lit(chunk)).cast("int")

@@ -124,7 +124,10 @@ def run_oracle(
         for host in hosts_sorted:
             urls = by_host.get(host, [])
             delay = rules.get(host, {}).get("crawl_delay_s", cfg.default_crawl_delay_s)
-            if delay <= 0:
+            # a rules dict straight from parse_robots_body carries None
+            # for missing/invalid Crawl-delay — substitute the default
+            # exactly as Spark's _budget_cols null-coalesce does
+            if delay is None or delay <= 0:
                 delay = cfg.default_crawl_delay_s
             st.credit[host] = st.credit.get(host, 0.0) + cfg.round_budget_s
             k = int(math.floor(st.credit[host] / delay))

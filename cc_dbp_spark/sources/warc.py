@@ -131,7 +131,15 @@ def warc_records(
         for pdf in batches:
             rows = []
             for src, payload in zip(pdf[src_col], pdf[payload_col]):
-                recs, truncated = parse_warc_bytes(bytes(payload))
+                # NULL payloads (the fetch layer's failed rows) and
+                # payloads yielding zero kept records must still leave
+                # an audit trail: a sentinel record_ndx=-1 row carries
+                # the truncated flag instead of the file silently
+                # disappearing from the output (tolerant-by-contract)
+                if payload is None:
+                    recs, truncated = [], True
+                else:
+                    recs, truncated = parse_warc_bytes(bytes(payload))
                 ndx = 0
                 for r in recs:
                     if responses_only and r["warc_type"] != "response":
@@ -150,6 +158,15 @@ def warc_records(
                         }
                     )
                     ndx += 1
+                if ndx == 0 and truncated:
+                    rows.append(
+                        {
+                            "src": src, "record_ndx": -1, "warc_type": None,
+                            "url": None, "http_status": None,
+                            "content_type": None, "body_len": 0,
+                            "body": None, "truncated": True,
+                        }
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -15,7 +15,9 @@ def test_fetch_retries_and_histogram(spark):
     urls = spark.createDataFrame(
         [("http://a",), ("http://b",), ("http://missing",)], "url string"
     )
-    out = FE.fetch_batch(urls, FE.make_fixture_fetcher(doc_map))
+    # retry_sleep_s=0: fixture misses are EXPECTED; the default 2 s
+    # inter-attempt sleep (reference contract) is for real transports
+    out = FE.fetch_batch(urls, FE.make_fixture_fetcher(doc_map), retry_sleep_s=0.0)
     rows = {r.url: r for r in out.collect()}
     assert rows["http://a"].status == "fetched" and bytes(rows["http://a"].payload) == b"payload-a"
     assert rows["http://a"].attempts == 1

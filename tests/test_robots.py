@@ -158,3 +158,49 @@ def test_oracle_twin_matches_engine_on_query_urls():
     assert not osch._allowed("http://h.ex/a?xyz", rules)  # prefix on query
     assert osch._allowed("http://h.ex/a", rules)
     assert osch._allowed("http://h.ex/file", rules)
+
+
+def test_duplicate_agent_groups_merge():
+    """RFC 9309: rules from duplicate matching groups COMBINE — first
+    group-wins silently dropped later sections' rules (a politeness
+    violation: the crawler fetched paths the host disallowed)."""
+    body = (
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 3\n\n"
+        "User-agent: *\nDisallow: /b\nAllow: /b/ok\n"
+    )
+    r = rb.parse_robots_body(body, agent="ccdbp")
+    assert r["deny_prefixes"] == ["/a", "/b"]
+    assert r["allow_prefixes"] == ["/b/ok"]
+    assert r["crawl_delay_s"] == 3.0
+    # a specific group still beats the merged * groups outright
+    body2 = body + "\nUser-agent: ccdbp\nDisallow: /c\n"
+    r2 = rb.parse_robots_body(body2, agent="ccdbp")
+    assert r2["deny_prefixes"] == ["/c"]
+
+
+def test_nonfinite_crawl_delay_rejected():
+    """'Crawl-delay: nan'/'inf' (web-controlled input) parse as floats
+    but evade every <=0/null validation downstream (NaN <= 0 is false),
+    silently starving the host — they must count as invalid -> null."""
+    for bad in ("nan", "inf", "-inf", "NaN"):
+        r = rb.parse_robots_body(f"User-agent: *\nCrawl-delay: {bad}\n")
+        assert r["crawl_delay_s"] is None, bad
+    ok = rb.parse_robots_body("User-agent: *\nCrawl-delay: 2.5\n")
+    assert ok["crawl_delay_s"] == 2.5
+
+
+def test_oracle_scheduler_defaults_none_delay():
+    """The pure-Python oracle substitutes the default for a None
+    crawl_delay_s exactly as Spark's null-coalesce does (it used to
+    raise TypeError on rules dicts straight from parse_robots_body)."""
+    from cc_dbp_spark.oracle import scheduler as osched
+
+    body = rb.parse_robots_body("User-agent: *\nDisallow: /x\n")
+    assert body["crawl_delay_s"] is None
+    robots = [dict(body, host="h.ex.com")]
+    cfg = osched.CrawlConfig(round_budget_s=3.0, max_rounds=1)
+    res = osched.run_oracle(
+        ["http://h.ex.com/a", "http://h.ex.com/x/deny"], {}, robots, cfg
+    )
+    assert any("h.ex.com/a" in u for u in res.seen)
+    assert not any("/x/deny" in u for u in res.seen)

@@ -76,3 +76,21 @@ def test_spark_explode_filters_responses(spark):
     ]
     assert all(r.warc_type == "response" and r.http_status == 200 for r in got)
     assert all(not r.truncated for r in got)
+
+
+def test_warc_null_and_garbage_payloads_leave_audit_trail(spark):
+    """A NULL payload (the fetch layer's failed rows) or a payload that
+    yields zero kept records must emit a sentinel truncated row instead
+    of crashing (bytes(None) TypeError) or silently vanishing."""
+    from cc_dbp_spark.sources import warc as W
+
+    rows = [
+        ("ok", W.synth_warc([("http://a.ex/x", "hello world")])),
+        ("nullpay", None),
+        ("garbage", b"not a warc at all"),
+    ]
+    df = spark.createDataFrame(rows, "src string, payload binary")
+    got = {r.src: r for r in W.warc_records(df).collect()}
+    assert got["ok"].record_ndx == 0 and not got["ok"].truncated
+    assert got["nullpay"].record_ndx == -1 and got["nullpay"].truncated
+    assert got["garbage"].record_ndx == -1 and got["garbage"].truncated
