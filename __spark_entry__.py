@@ -1556,7 +1556,9 @@ def _ensure_lc_draws() -> str:
     ids = tbl.column("doc_id").to_pylist()
     srcs = tbl.column("source").to_pylist()
     tag = _content_tag(f"{s}/{i}" for s, i in zip(srcs, ids))
-    out = fixtures.DEFAULT_FIXTURE_DIR / f"lc_draws_{name}_{tag}.parquet"
+    # k2 = kernel revision (int32-wrap seed fix): a kernel change must
+    # invalidate fixtures even when the input keys are unchanged
+    out = fixtures.DEFAULT_FIXTURE_DIR / f"lc_draws_{name}_k2_{tag}.parquet"
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
         draws = parity.learning_curve_position(

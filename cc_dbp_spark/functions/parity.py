@@ -181,9 +181,17 @@ def group_salt(sentences: Iterable[str], split_count: np.ndarray | int) -> np.nd
 
 
 def learning_curve_position(doc_ids: Iterable[str]) -> np.ndarray:
-    """D6: new Random(docId.hashCode()+123321).nextDouble() (RelexMention.java:298-303)."""
+    """D6: new Random(docId.hashCode()+123321).nextDouble() (RelexMention.java:298-303).
+
+    Java evaluates ``hashCode() + 123321`` in 32-BIT int arithmetic (the
+    wrapped int then widens to long for the Random seed), so hashCodes
+    above INT_MAX-123321 wrap negative — an int64 add here diverged from
+    the live JVM on exactly those ids (verified against java.util.Random
+    directly; golden vectors never covered the boundary)."""
     hc = java_string_hashcode_fast(doc_ids)
-    return java_random_next_double(hc + 123321)
+    with np.errstate(over="ignore"):
+        seed = (hc.astype(np.int32) + np.int32(123321)).astype(np.int64)
+    return java_random_next_double(seed)
 
 
 def partition_assignment(group_ids: Iterable[str], num_parts: int) -> np.ndarray:
@@ -273,7 +281,12 @@ def register_udfs(spark):
 
     @pandas_udf(LongType())
     def gsalt(s: pd.Series, split_count: pd.Series) -> pd.Series:
-        return pd.Series(group_salt(s.fillna(""), split_count.to_numpy(dtype=np.int64)))
+        # fillna(1) like the sibling UDFs null-handle: a null split
+        # count (non-hot host in a left-joined table) means "no split"
+        # rather than a ValueError killing the Arrow batch
+        return pd.Series(
+            group_salt(s.fillna(""), split_count.fillna(1).to_numpy(dtype=np.int64))
+        )
 
     fns = {
         "prand": prand,

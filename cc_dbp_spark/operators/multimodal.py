@@ -99,7 +99,17 @@ def extract_image_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
     """mapInPandas decode + feature extraction: per Arrow batch, decode
     each payload (stubbed), compute channel-mean/std features, emit a
     typed feature row. Errors become (ok=false, error) rows — the fetch
-    layer's exception-histogram pattern (SaveCommonCrawlBase.java:150-196)."""
+    layer's exception-histogram pattern (SaveCommonCrawlBase.java:150-196).
+
+    The stub kernel computes 8 statistics (3 channel means + 3 channel
+    stds + h + w); feat_dim selects a prefix of them. Asking for more
+    raises instead of silently returning shorter vectors (a shape
+    mismatch far from the cause otherwise)."""
+    if feat_dim > 8:
+        raise ValueError(
+            f"feat_dim={feat_dim}: the stub feature kernel computes 8 "
+            "statistics (3 channel means, 3 channel stds, height, width)"
+        )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,12 +257,14 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000, feat_dim: int =
     deterministic timestamps, synthesize each frame's payload from
     (video payload, frame_ms) — the stub stands in for an ffmpeg seek+
     decode — then reuse the image feature kernel. One row per frame."""
+    # timestamp sampling is DEFINED once (frame_sample_plan); joining the
+    # plan back keeps the sampled frames and the published plan in
+    # lock-step if the sampling rule ever changes
+    plan = frame_sample_plan(media, every_ms)
     frames = (
         media.filter(F.col("kind") == "video")
-        .select(
-            "media_ref", "payload", "width", "height",
-            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ms"),
-        )
+        .join(plan, "media_ref")
+        .select("media_ref", "payload", "width", "height", "frame_ms")
         .select(
             F.concat(F.col("media_ref"), F.lit("#t="), F.col("frame_ms")).alias("media_ref"),
             F.lit("image").alias("kind"),

@@ -77,8 +77,19 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 def read_simple_tsv(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
     """S9 simple-TSV scan: tab-split, no quoting/escapes
-    (``util/.../formats/SimpleTsvIterable.java:27-50``)."""
-    df = spark.read.csv(path, sep="\t", header=False, quote="")
-    for i, name in enumerate(columns):
-        df = df.withColumnRenamed(f"_c{i}", name)
-    return df
+    (``util/.../formats/SimpleTsvIterable.java:27-50``).
+
+    text + split, not the CSV reader: the reference does a plain tab
+    split with NO quoting and yields EMPTY STRINGS for empty fields,
+    while Spark's CSV source reads empty fields as null (and applies
+    quote handling). A line with fewer fields than ``columns`` yields
+    null for the missing tail — the per-line analogue of the
+    reference's variable-length parts arrays (callers check length)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    # F.get: NULL beyond the last field even under ANSI (getItem throws)
+    return lines.select(
+        *[F.get(parts, i).alias(name) for i, name in enumerate(columns)]
+    )

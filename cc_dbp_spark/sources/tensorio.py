@@ -77,6 +77,16 @@ def write_tensor_set(*tensors) -> bytes:
             for s in a.ravel():
                 _write_utf(out, str(s))
         else:
+            if tid == _T_INT and a.size and np.issubdtype(a.dtype, np.integer):
+                # astype('>i4') silently WRAPS out-of-range int64/uint
+                # values (2**31 -> -2147483648), corrupting the record;
+                # the scalar path already raises OverflowError — make
+                # the array path equally loud
+                mn, mx = int(a.min()), int(a.max())
+                if mn < -(2**31) or mx > 2**31 - 1:
+                    raise OverflowError(
+                        f"int tensor value out of int32 range [{mn}, {mx}]"
+                    )
             out += np.ascontiguousarray(a).astype(_DTYPES[tid]).tobytes()
     out.append(0)  # canary
     return bytes(out)

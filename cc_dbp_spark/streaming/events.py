@@ -18,8 +18,13 @@ EVENT_SCHEMA = (
 )
 
 
-def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+def read_event_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(src_dir)
 
 
 def windowed_counts(
@@ -112,22 +117,39 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     gap_ns = gap_minutes * 60 * 1_000_000_000
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x: float) -> float:
+        # Spark's F.round = BigDecimal.valueOf(double) HALF_UP, i.e.
+        # shortest-decimal-repr then round-half-up; pandas .round is
+        # half-EVEN and diverges on exact halves (0.125 -> 0.12 vs 0.13)
+        return float(Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
     def fn(key, pdfs, state: GroupState):
         if state.exists:
             s_start, s_last, s_n, s_sv = state.get
         else:
             s_start = None
         parts = [p[["ts", "event_id", "value"]] for p in pdfs]
-        if not parts:
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"]) if parts else None
+        if pdf is None or not len(pdf):
+            # zero-row invocation (empty chunk list OR empty chunks)
             yield pd.DataFrame(
                 columns=["user_id", "session_start", "session_end", "n_events", "sum_value"]
             )
             return
-        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
         ts = pdf["ts"].astype("int64").to_numpy()  # ns
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        brk = np.concatenate([[True], np.diff(ts) > gap_ns])
-        seg = np.cumsum(brk) - 1
+        prev = ts[:-1]
+        if s_start is not None:
+            # the carried session's reach: an in-batch gap measured from
+            # a LATE event (ts < stored last) must use the stored last
+            # as the previous activity, or a session would wrongly split
+            # (e.g. last=10min, batch=[5min, 38min], gap=30: 38-5 breaks
+            # but 38-10 does not). If the carried session is already out
+            # of reach of ts[0], s_last < every ts and the max is a no-op.
+            prev = np.maximum(prev, s_last)
+        brk = np.concatenate([[True], (ts[1:] - prev) > gap_ns])
         starts_idx = np.nonzero(brk)[0]
         ends_idx = np.concatenate([starts_idx[1:] - 1, [len(ts) - 1]])
         cs = np.concatenate([[0.0], np.cumsum(vals)])
@@ -138,8 +160,17 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         rows = []  # (start_ns, end_ns, n, sv) of CLOSED sessions
         if s_start is not None:
             if ts[0] - s_last <= gap_ns:
-                # carried session absorbs segment 0
-                seg_start[0] = s_start
+                # carried session absorbs segment 0. Cross-microbatch
+                # late events merge INTO the open session: its start
+                # extends backward and its end never regresses below
+                # the stored last (the old unconditional assignments
+                # corrupted both when a later microbatch delivered
+                # events out of order). Events later than s_last+gap
+                # still open new sessions; a late event can NOT re-open
+                # an already-EMITTED session (append-mode streaming
+                # cannot retract — the watermark-style limitation).
+                seg_start[0] = min(s_start, int(seg_start[0]))
+                seg_end[0] = max(s_last, int(seg_end[0]))
                 seg_n[0] += s_n
                 seg_sv[0] += s_sv
             else:
@@ -154,7 +185,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 "session_start": pd.to_datetime(out["s"].astype("int64"), utc=False),
                 "session_end": pd.to_datetime(out["e"].astype("int64"), utc=False),
                 "n_events": out["n"].astype("int64"),
-                "sum_value": out["sv"].round(2),
+                "sum_value": [round_half_up(v) for v in out["sv"]],
             }
         )
 

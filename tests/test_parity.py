@@ -121,3 +121,20 @@ def test_draws_uniformish():
     d = parity.pseudo_random_from_string(strs)
     assert 0.45 < d.mean() < 0.55
     assert d.min() >= 0 and d.max() < 1
+
+
+def test_learning_curve_seed_wraps_int32():
+    """Java evaluates hashCode()+123321 in 32-bit int arithmetic; ids
+    whose hashCode exceeds INT_MAX-123321 wrap negative before seeding
+    Random. Expected values generated from the live JVM
+    (java.util.Random via the tools/GenGoldenVectors.java pattern);
+    the int64 add used before this fix returned 0.5509/0.8026/0.2984."""
+    keys = ["doc/2zlrt8sz", "doc/segdykns", "doc/rzqcqlke", "doc/plain"]
+    want = [
+        0.6497970801705112,   # hashCode 2147463600 (wraps)
+        0.9014524580408345,   # hashCode 2147400317 (wraps)
+        0.3972565928496061,   # hashCode 2147428614 (wraps)
+        0.727684324030074,    # hashCode -1057531341 (no wrap)
+    ]
+    got = parity.learning_curve_position(keys)
+    assert list(got) == want

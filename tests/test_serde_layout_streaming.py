@@ -249,3 +249,52 @@ def test_streaming_crawl_rounds_match_batch(spark, tmp_path):
             for r in batch.orderBy("position").collect()
         )
     assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_multibatch_out_of_order(spark, tmp_path):
+    """Cross-microbatch correctness: a later microbatch delivering LATE
+    events (ts below the stored session last) merges them into the open
+    session — extending start backward, never regressing last — and an
+    in-batch gap measured from a late event uses the stored last as
+    previous activity. The old state carry corrupted both."""
+    import datetime as dt
+    import os
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    # batch 0: events at 0min and 10min (one open session)
+    # batch 1 (later): late event at 5min + event at 38min.
+    #   38-5 = 33min > gap BUT 38-10 = 28min <= gap: ONE session 0..38.
+    # batch 2: event at 120min -> closes the 0..38 session.
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    batches = [
+        [(1, t(0), 7, "c", 1.0, ""), (2, t(10), 7, "c", 2.0, "")],
+        [(3, t(5), 7, "c", 4.0, ""), (4, t(38), 7, "c", 8.0, "")],
+        [(5, t(120), 7, "c", 16.0, "")],
+    ]
+    for i, rows in enumerate(batches):
+        # the file stream source does not recurse into per-batch
+        # subdirectories: stage with Spark, then move the single part
+        # file to the top level with increasing mtimes (batch order)
+        stage = tmp_path / f"ooo_stage_{i}"
+        df = spark.createDataFrame(rows, ev.EVENT_SCHEMA)
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        target = src / f"b{i}.parquet"
+        part.rename(target)
+        base = 1_700_000_000 + i * 60
+        os.utime(target, (base, base))
+
+    stream = ev.sessionize_stream(
+        ev.read_event_stream(spark, str(src), max_files_per_trigger=1),
+        gap_minutes=30,
+    )
+    out = tmp_path / "ooo_out"
+    ev.run_available_now(stream, str(out), str(tmp_path / "ooo_ckpt"))
+    got = [
+        (r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    assert got == [(t(0), t(38), 4, 15.0)]
