@@ -751,6 +751,7 @@ def q_gazetteer_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = spark.createDataFrame(
         [(f"ent:{w}", w) for w in GAZ_WORDS]
         + [(f"ent:{w}", f"the {w}") for w in GAZ_WORDS]
+        + [(f"ent:{w}", lb) for w in GAZ_WORDS for lb in INT_BOUNDARY_LABELS]
         + [("ent:filter", "42"), ("ent:missing", "ghost")],
         "id string, label string",
     )
@@ -1211,10 +1212,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GAZ_WORDS_SQL = "(" + ", ".join(f"'{w}'" for w in GAZ_WORDS) + ")"
 _GAZ_PHRASES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in GAZ_PHRASES)
 _TRIPLES_SQL = ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in GT_TRIPLES)
-# gazetteer_label_filter label fixture (mirrors q_gazetteer_label_filter)
+# gazetteer_label_filter label fixture (mirrors q_gazetteer_label_filter).
+# The INT_BOUNDARY labels pin the exact Integer.parseInt acceptance at the
+# int32 edge: on a hot (count>max) entity only genuinely-parseable values
+# survive via the integer branch.
+INT_BOUNDARY_LABELS = [
+    "2147483647",     # Integer.MAX_VALUE: int -> kept at any count
+    "2147483648",     # MAX_VALUE+1: parseInt overflows -> dropped when hot
+    "-2147483648",    # Integer.MIN_VALUE: int -> kept
+    "-2147483649",    # MIN_VALUE-1: dropped when hot
+    "0002147483647",  # leading zeros, value fits -> kept
+    "12345678901",    # 11 digits -> dropped when hot
+]
 _LABELS_SQL = ", ".join(
     [f"('ent:{w}', '{w}')" for w in GAZ_WORDS]
     + [f"('ent:{w}', 'the {w}')" for w in GAZ_WORDS]
+    + [f"('ent:{w}', '{lb}')" for w in GAZ_WORDS for lb in INT_BOUNDARY_LABELS]
     + ["('ent:filter', '42')", "('ent:missing', 'ghost')"]
 )
 
@@ -2028,7 +2041,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             WHERE count >= 1 AND len(tokens) > 0 AND tokens[1] <> ''
               AND (len(tokens) > 1
-                   OR regexp_matches(tokens[1], '^[+-]?\\d{{1,9}}$')
+                   -- exact Integer.parseInt acceptance, same pure-string
+                   -- check as kb.filter_gazetteer_labels: sign/zero strip,
+                   -- <10 significant digits ok, ==10 lexical-compared
+                   -- against the int32 bound
+                   OR (regexp_matches(tokens[1], '^[+-]?\\d+$')
+                       AND (length(regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')) < 10
+                            OR (length(regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')) = 10
+                                AND regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')
+                                    <= CASE WHEN tokens[1] LIKE '-%'
+                                            THEN '2147483648' ELSE '2147483647' END)))
                    OR count <= 900)
         """,
         # P12 overlap cleanup: matches with 0-based token spans; drop a
@@ -2297,8 +2319,12 @@ def oracle_sql() -> dict[str, str]:
             sents AS (
               SELECT id1, id2, positive, chunk, CAST(i AS INT) AS sent_ndx,
                      regexp_split_to_array(
-                       trim(regexp_replace(members[i + 1],
-                                           '(ARGONE|ARGTWO)', ' \\1 ', 'g')),
+                       trim(regexp_replace(
+                         regexp_replace(members[i + 1],
+                                        '(^|[^A-Za-z0-9])(ARGONE|ARGTWO)',
+                                        '\\1 \\2', 'g'),
+                         '(ARGONE|ARGTWO)($|[^A-Za-z0-9])',
+                         '\\1 \\2', 'g')),
                        '\\s+') AS toks
               FROM chunks, unnest(range(0, len(members))) AS u(i)
               WHERE len(members) > 0

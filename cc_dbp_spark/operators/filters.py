@@ -21,6 +21,7 @@ candidate partition, never broadcast whole.
 from __future__ import annotations
 
 import math
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -167,8 +168,12 @@ def empty_bloom_df(spark):
     return spark.createDataFrame([], "pid int, bitmap binary")
 
 
-# one live probe broadcast per SparkContext (see flag_with_broadcast_bloom)
-_last_probe_broadcast: dict[int, object] = {}
+# one live probe broadcast per SparkContext (see flag_with_broadcast_bloom).
+# Keyed by applicationId (stable, never reused across contexts — id(sc)
+# could collide after GC) and held via weakref so a dead context's entry
+# can neither pin its ~64 MB driver copy for the process lifetime nor be
+# unpersisted by an unrelated successor.
+_last_probe_broadcast: dict[str, "weakref.ref"] = {}
 
 
 def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
@@ -193,13 +198,15 @@ def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
     # its consumers were materialized by that round's checkpoint/count
     # barrier, and unpersist (unlike destroy) stays re-broadcastable
     # from the driver if some lazy plan does re-execute
-    prev = _last_probe_broadcast.pop(id(sc), None)
+    app_id = sc.applicationId
+    prev_ref = _last_probe_broadcast.pop(app_id, None)
+    prev = prev_ref() if prev_ref is not None else None
     if prev is not None:
         try:
             prev.unpersist(False)
         except Exception:
             pass  # context shut down between rounds
-    _last_probe_broadcast[id(sc)] = bparts
+    _last_probe_broadcast[app_id] = weakref.ref(bparts)
 
     @F.pandas_udf(BooleanType())
     def _probe(h: pd.Series) -> pd.Series:

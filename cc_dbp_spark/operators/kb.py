@@ -110,11 +110,12 @@ def filter_gazetteer_labels(
 
     Whitespace tokens stand in for the reference's ClearNLP tokens (the
     same stand-in the rest of the mention pipeline uses); the integer
-    test mirrors ``Lang.isInteger`` (``Integer.parseInt``: optional sign
-    + digits) as the regex ``^[+-]?\\d{1,9}$`` — capped at 9 digits so
-    the rule is engine-independent (parseInt's exact int32 overflow
-    boundary would need a cast whose string->int edge semantics differ
-    between Spark ANSI and DuckDB).
+    test mirrors ``Lang.isInteger`` (``Integer.parseInt``) EXACTLY —
+    optional sign + digits with the numeric value inside int32 — as a
+    pure-string check (sign/zero strip + digit count + lexical compare
+    against 2147483647/2147483648) so no engine-specific string->int
+    cast semantics are involved and the DuckDB oracle applies the
+    identical expression.
 
     Scale shape: id_counts is the per-entity corpus count table — KB
     cardinality, not corpus cardinality — joined on the entity id; at
@@ -135,7 +136,21 @@ def filter_gazetteer_labels(
             "left",
         )
     first_tok = F.element_at(toks, 1)
-    is_int = first_tok.rlike(r"^[+-]?\d{1,9}$")
+    # exact Integer.parseInt acceptance (Lang.isInteger): optional sign +
+    # digits, numeric value within int32. Pure-string check so Spark and
+    # the DuckDB oracle agree bit-for-bit: strip sign and leading zeros,
+    # then <10 significant digits always fits, exactly 10 compares
+    # lexically against the int32 bound (2147483647 / -2147483648), >10
+    # never fits. All-zero inputs canonicalize to '' (length 0 < 10: ok).
+    canon = F.regexp_replace(
+        F.regexp_replace(first_tok, r"^[+-]", ""), r"^0+", ""
+    )
+    bound = F.when(first_tok.startswith("-"), F.lit("2147483648")).otherwise(
+        F.lit("2147483647")
+    )
+    is_int = first_tok.rlike(r"^[+-]?\d+$") & (
+        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
+    )
     # F.split never yields an empty array, so "tokenizes non-empty"
     # reduces to the first token being non-blank
     keep = (

@@ -511,7 +511,18 @@ def encode_tensor_rows(
     # punctuation becomes its own token, OOV like any unseen word).
     # Without it every punctuation-adjacent mention silently fell into
     # the skipped-mention filter below.
-    padded = F.regexp_replace(F.col("ctx"), "(ARGONE|ARGTWO)", " $1 ")
+    #
+    # Boundary-guarded two-pass (no lookaround: DuckDB's RE2 oracle must
+    # apply the identical regex): pad a side only when that side is a
+    # non-alphanumeric/start/end boundary, so LITERAL document text
+    # containing the placeholder as a substring ('ARGONEXT') stays one
+    # token and can never mis-anchor array_position's first-occurrence
+    # lookup — exactly how the reference's re-tokenizer treats it
+    # (one token != ARGONE -> the mention is skipped, not mis-anchored).
+    padded = F.regexp_replace(
+        F.col("ctx"), r"(^|[^A-Za-z0-9])(ARGONE|ARGTWO)", "$1 $2"
+    )
+    padded = F.regexp_replace(padded, r"(ARGONE|ARGTWO)($|[^A-Za-z0-9])", "$1 $2")
     sent = sent_rows.withColumn("toks", F.split(F.trim(padded), r"\s+"))
     sent = (
         sent.withColumn("a1", F.array_position("toks", "ARGONE").cast("int") - 1)

@@ -158,13 +158,17 @@ def warc_records(
                         }
                     )
                     ndx += 1
-                if ndx == 0 and truncated:
+                if ndx == 0:
+                    # ANY payload yielding zero kept records (NULL,
+                    # truncated, or well-formed but all-filtered, e.g.
+                    # request-only files under responses_only) leaves
+                    # the sentinel; ``truncated`` carries its real value
                     rows.append(
                         {
                             "src": src, "record_ndx": -1, "warc_type": None,
                             "url": None, "http_status": None,
                             "content_type": None, "body_len": 0,
-                            "body": None, "truncated": True,
+                            "body": None, "truncated": truncated,
                         }
                     )
             yield pd.DataFrame(

@@ -111,3 +111,32 @@ def test_filter_gazetteer_labels(spark):
     # min gate at count=min_count; the max gate then never bites
     kept2 = kb.filter_gazetteer_labels(labels, None, min_count=1, max_count=50_000)
     assert kept2.count() == 5  # only the empty-token label drops
+
+
+def test_filter_gazetteer_labels_parseint_boundary(spark):
+    """Lang.isInteger == Integer.parseInt acceptance, exactly: the int32
+    overflow boundary and leading zeros behave like the JVM (a hot
+    entity's 10-digit label survives iff parseInt would accept it)."""
+    from cc_dbp_spark.operators import kb
+
+    cases = [
+        ("2147483647", True),      # Integer.MAX_VALUE
+        ("2147483648", False),     # overflow
+        ("-2147483648", True),     # Integer.MIN_VALUE
+        ("-2147483649", False),    # underflow
+        ("+2147483647", True),     # explicit plus sign
+        ("0002147483647", True),   # leading zeros, value fits
+        ("0002147483648", False),  # leading zeros, value overflows
+        ("00000000000", True),     # all zeros == 0
+        ("12345678901", False),    # 11 significant digits
+        ("999999999", True),       # 9 digits always fits
+        ("12e4", False),           # not parseInt-acceptable
+        ("-", False),
+    ]
+    labels = spark.createDataFrame(
+        [("e:hot", lb) for lb, _ in cases], "id string, label string"
+    )
+    counts = spark.createDataFrame([("e:hot", 100_000)], "id string, cnt bigint")
+    kept = kb.filter_gazetteer_labels(labels, counts, min_count=1, max_count=50_000)
+    got = {r.label for r in kept.collect()}
+    assert got == {lb for lb, ok in cases if ok}

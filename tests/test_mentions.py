@@ -275,6 +275,38 @@ def test_tensor_encode_resolves_punctuation_adjacent_args(spark):
     assert list(out[0].pos1)[1] == 32 and list(out[0].pos2)[3] == 32
 
 
+def test_tensor_encode_ignores_literal_placeholder_substrings(spark):
+    """Literal document text containing the placeholder as an
+    alphanumeric-adjacent substring ('ARGONEXT') must stay ONE token:
+    unguarded padding split it into 'ARGONE'+'XT' and array_position's
+    first-occurrence lookup anchored the arg span to the literal text
+    instead of the real placeholder."""
+    rows = spark.createDataFrame(
+        [
+            # literal ARGONEXT precedes the real ARGONE: with the old
+            # unguarded padding a1 anchored at token 1 (wrong)
+            ("e:a", "e:b", True, 0, 0, "see ARGONEXT then ARGONE hits ARGTWO"),
+            # punctuation-adjacent literal: '.ARGONEXT' pads left but the
+            # token stays intact, still != ARGONE
+            ("e:c", "e:d", False, 0, 0, "pre.ARGONEXT ARGONE and ARGTWO"),
+        ],
+        "id1 string, id2 string, positive boolean, chunk int, "
+        "sent_ndx int, ctx string",
+    )
+    vocab = spark.createDataFrame(
+        [("see", 0), ("then", 1), ("hits", 2)], "word string, widx int"
+    )
+    out = {r.id1: r for r in M.encode_tensor_rows(rows, vocab).collect()}
+    # toks: see ARGONEXT then ARGONE hits ARGTWO -> a1=3, a2=5
+    a = out["e:a"]
+    assert len(a.words) == 6
+    assert list(a.pos1)[3] == 32 and list(a.pos2)[5] == 32
+    # toks: pre. ARGONEXT ARGONE and ARGTWO -> a1=2, a2=4
+    c = out["e:c"]
+    assert len(c.words) == 5
+    assert list(c.pos1)[2] == 32 and list(c.pos2)[4] == 32
+
+
 def test_sentence_bounds_counts_whitespace_runs(spark):
     """Double spaces are not tokens; tabs separate tokens (the old
     literal-space split counted 'a  b' as 3 tokens and 'a\\tb' as 1)."""

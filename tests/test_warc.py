@@ -88,9 +88,14 @@ def test_warc_null_and_garbage_payloads_leave_audit_trail(spark):
         ("ok", W.synth_warc([("http://a.ex/x", "hello world")])),
         ("nullpay", None),
         ("garbage", b"not a warc at all"),
+        # well-formed WARC whose records are ALL filtered out under
+        # responses_only (warcinfo + request only): still audited, with
+        # truncated carrying its real value (False)
+        ("reqonly", W._record("request", "http://a.ex/x", b"GET /x")),
     ]
     df = spark.createDataFrame(rows, "src string, payload binary")
     got = {r.src: r for r in W.warc_records(df).collect()}
     assert got["ok"].record_ndx == 0 and not got["ok"].truncated
     assert got["nullpay"].record_ndx == -1 and got["nullpay"].truncated
     assert got["garbage"].record_ndx == -1 and got["garbage"].truncated
+    assert got["reqonly"].record_ndx == -1 and not got["reqonly"].truncated
