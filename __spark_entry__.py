@@ -775,9 +775,10 @@ def q_gazetteer_overlap_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mention_pairs_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 token-window pair variant
-    (CreateTsvDatasetTokenWindow.java:93-120): entity pairs whose
-    mentions START within +-window tokens, via the bucketized band join
-    (never a per-doc cross join)."""
+    (CreateTsvDatasetTokenWindow.java:165-176): reference forward-scan
+    semantics — center pairs with later mentions whose token END falls
+    within center end + window — via the bucketized band join (never a
+    per-doc cross join)."""
     d = _docs(spark, sf_dir)
     m = gazetteer.match_documents(d, GAZ_ENTRIES)
     return gazetteer.mention_pairs_token_window(m, window=4)
@@ -2081,8 +2082,10 @@ def oracle_sql() -> dict[str, str]:
                   AND l.tok_start <= m.tok_start AND l.tok_end >= m.tok_end
                   AND (l.tok_end - l.tok_start) > (m.tok_end - m.tok_start)))
         """,
-        # F3 token-window pairs: matches with 0-based token starts, all
-        # pairs id1<id2 whose starts lie within +-4 tokens
+        # F3 token-window pairs, reference forward-scan semantics
+        # (CreateTsvDatasetTokenWindow.java:165-176): center scans
+        # mentions after it in (tok_start, tok_end) order and keeps those
+        # whose token END <= center token end + 4; ids normalized id1<id2
         "mention_pairs_window": f"""
             WITH sp AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2091,18 +2094,30 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
               SELECT doc_id, w[ord] AS word, CAST(ord AS INT) AS ord FROM widx),
             ment AS (
-              SELECT doc_id, 'ent:' || word AS entity_id, ord - 1 AS t
+              SELECT doc_id, 'ent:' || word AS entity_id,
+                     ord - 1 AS t, ord AS e
               FROM toks WHERE word IN {_GAZ_WORDS_SQL}
               UNION ALL
-              SELECT a.doc_id, 'ent:' || a.word || '_' || b.word, a.ord - 1
+              SELECT a.doc_id, 'ent:' || a.word || '_' || b.word,
+                     a.ord - 1, a.ord + 1
               FROM toks a JOIN toks b
                 ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
-              WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL}))
-            SELECT DISTINCT m1.doc_id, m1.entity_id AS id1,
-                   m2.entity_id AS id2, m1.t AS t1, m2.t AS t2
-            FROM ment m1 JOIN ment m2
-              ON m1.doc_id = m2.doc_id AND m1.entity_id < m2.entity_id
-            WHERE abs(m1.t - m2.t) <= 4
+              WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL})),
+            pairs AS (
+              SELECT x.doc_id, x.entity_id AS xid, y.entity_id AS yid,
+                     x.t AS xt, y.t AS yt
+              FROM ment x JOIN ment y
+                ON x.doc_id = y.doc_id
+               AND (y.t > x.t OR (y.t = x.t AND (y.e > x.e
+                    OR (y.e = x.e AND y.entity_id > x.entity_id))))
+               AND y.e <= x.e + 4
+               AND x.entity_id <> y.entity_id)
+            SELECT DISTINCT doc_id,
+                   CASE WHEN xid < yid THEN xid ELSE yid END AS id1,
+                   CASE WHEN xid < yid THEN yid ELSE xid END AS id2,
+                   CASE WHEN xid < yid THEN xt ELSE yt END AS t1,
+                   CASE WHEN xid < yid THEN yt ELSE xt END AS t2
+            FROM pairs
         """,
         "mention_pairs": _MENTION_CTE + """
             SELECT doc_id, id1, id2, s1, e1, s2, e2, rewritten,

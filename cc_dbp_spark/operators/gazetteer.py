@@ -159,35 +159,63 @@ def clean_overlapping_matches(matches: DataFrame) -> DataFrame:
 
 
 def mention_pairs_token_window(matches: DataFrame, window: int) -> DataFrame:
-    """F3 token-window pair variant (``CreateTsvDatasetTokenWindow.java:93-120``):
-    entity pairs whose mentions start within +-window tokens, id1 < id2.
+    """F3 token-window pair variant (``CreateTsvDatasetTokenWindow.java:165-176``),
+    reference-exact forward-scan semantics: for each center mention the
+    scan walks entities AFTER it in (tok_start, tok_end) annotation sort
+    order and keeps those whose token END falls within
+    ``center.tok_end + window`` — so a long mention that *starts* inside
+    the window but *ends* outside is excluded, exactly as the Java loop
+    bound ``entToks.get(oei).end <= tokEndNdx+1`` excludes it (the
+    ``min(tokens.size, ...)`` clamp is a no-op for the predicate since any
+    mention's tok_end <= tokens.size by construction). Equal-id pairs are
+    dropped and output ids are normalized id1 < id2 with their positions.
 
-    Scale shape: the |delta| <= window band join is bucketized —
-    bucket = tok_start / window; a qualifying pair is always in the same
-    or adjacent buckets, so the join is an equi-join on (doc, bucket)
-    with a +-1 bucket explode, never a full per-doc cross join.
+    Scale shape: the band join is bucketized on tok_end — a qualifying
+    other-mention's tok_end lies in ``(center.tok_start,
+    center.tok_end + window]``, so the center side explodes over that
+    fixed small bucket range (len/window + 2 buckets, mentions are a few
+    tokens) and the join is an equi-join on (doc, bucket), never a full
+    per-doc cross join.
     """
     from pyspark.sql import functions as F
 
-    b = matches.withColumn("bucket", F.floor(F.col("tok_start") / window))
-    left = b.select(
-        F.col("doc_id"), F.col("entity_id").alias("id1"),
-        F.col("tok_start").alias("t1"), F.col("bucket"),
-    )
-    right = b.select(
-        F.col("doc_id"), F.col("entity_id").alias("id2"),
-        F.col("tok_start").alias("t2"),
+    center = matches.select(
+        F.col("doc_id"), F.col("entity_id").alias("xid"),
+        F.col("tok_start").alias("xs"), F.col("tok_end").alias("xe"),
         F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            F.sequence(
+                F.floor((F.col("tok_start") + 1) / window),
+                F.floor((F.col("tok_end") + window) / window),
+            )
         ).alias("bucket"),
     )
+    other = matches.select(
+        F.col("doc_id"), F.col("entity_id").alias("yid"),
+        F.col("tok_start").alias("ys"), F.col("tok_end").alias("ye"),
+        F.floor(F.col("tok_end") / window).alias("bucket"),
+    )
+    # positional "after" = (tok_start, tok_end, entity_id) lexicographic;
+    # ties on the full key never pair (same id is excluded anyway)
+    after = (F.col("ys") > F.col("xs")) | (
+        (F.col("ys") == F.col("xs"))
+        & ((F.col("ye") > F.col("xe"))
+           | ((F.col("ye") == F.col("xe")) & (F.col("yid") > F.col("xid"))))
+    )
+    swap = F.col("xid") > F.col("yid")
     return (
-        left.join(right, ["doc_id", "bucket"])
+        center.join(other, ["doc_id", "bucket"])
         .filter(
-            (F.col("id1") < F.col("id2"))
-            & (F.abs(F.col("t1") - F.col("t2")) <= window)
+            after
+            & (F.col("ye") <= F.col("xe") + window)
+            & (F.col("xid") != F.col("yid"))
         )
-        .select("doc_id", "id1", "id2", "t1", "t2")
+        .select(
+            "doc_id",
+            F.when(swap, F.col("yid")).otherwise(F.col("xid")).alias("id1"),
+            F.when(swap, F.col("xid")).otherwise(F.col("yid")).alias("id2"),
+            F.when(swap, F.col("ys")).otherwise(F.col("xs")).alias("t1"),
+            F.when(swap, F.col("xs")).otherwise(F.col("ys")).alias("t2"),
+        )
         .distinct()
     )
 

@@ -60,6 +60,42 @@ def test_token_window_pairs(spark):
     assert got == {("a", "b", 0, 3), ("a", "c", 19, 20)}
 
 
+def test_token_window_forward_scan_end_bound(spark):
+    """Reference parity (CreateTsvDatasetTokenWindow.java:165-176): the
+    window bound applies to the other mention's token END, scanning
+    forward only — a long mention starting inside but ending outside the
+    window is excluded; a nested earlier-start mention still pairs."""
+    rows = [
+        (1, "ctr", 10, 11, 0, 1),
+        # starts inside (12 <= 11+3=14) but ends at 18 > 14 -> excluded
+        (1, "longtail", 12, 18, 2, 9),
+        # starts AND ends inside -> included
+        (1, "fit", 12, 14, 2, 5),
+        # nested same-start longer mention: after ctr in (start,end) order,
+        # end 13 <= 14 -> included
+        (1, "nest", 10, 13, 0, 4),
+        # before ctr with end far away from its own window: pairs only if
+        # ctr.end(11) <= 5+3=8 -> no pair (backward starts are covered
+        # when they are the center themselves)
+        (1, "early", 4, 5, 0, 1),
+    ]
+    m = spark.createDataFrame(
+        rows, "doc_id bigint, entity_id string, tok_start int, tok_end int, "
+        "char_start int, char_end int"
+    )
+    got = {(r.id1, r.id2, r.t1, r.t2)
+           for r in gaz.mention_pairs_token_window(m, window=3).collect()}
+    # centers in (start,end) order: early(4,5) bound 8 -> none;
+    # ctr(10,11) bound 14 -> nest(e13) + fit(e14), NOT longtail(e18);
+    # nest(10,13) bound 16 -> fit(e14); fit(12,14) bound 17 -> longtail
+    # e18 excluded (starts inside, ends outside: the divergence case)
+    assert got == {
+        ("ctr", "fit", 10, 12),
+        ("ctr", "nest", 10, 10),
+        ("fit", "nest", 12, 10),
+    }
+
+
 def test_block_shuffle_bounded_displacement(spark):
     df = spark.range(100).select(F.col("id"))
     out = [r.id for r in layout.block_shuffle(df, "id", block_size=10).collect()]
