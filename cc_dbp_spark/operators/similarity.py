@@ -102,7 +102,7 @@ def ivf_topk(
     sample_size: int = 10_000,
     seed: int = 3,
     centroids: np.ndarray | None = None,
-    max_cell: int | None = None,
+    max_cell: int | None | str = "auto",
 ) -> DataFrame:
     """IVF ANN: bucket-by-centroid, probe n_probe buckets per query.
 
@@ -120,8 +120,11 @@ def ivf_topk(
     sub-cells. The candidate set (and therefore the top-k result) is
     IDENTICAL to the unsplit plan; only the join partition sizes are
     bounded. The sub-count table is one row per centroid — always a
-    broadcast. Default off: the split adds a count barrier, so turn it
-    on when the corpus is big enough for skew to matter.
+    broadcast. Default ``"auto"`` = ``ceil(4*n/k)`` (plan_audit check
+    9's bound, derived from the same per-cell count barrier, no extra
+    job) so the remedy is on at deployment without opting in; pass an
+    int to pin the cap or ``None`` to skip the count barrier on corpora
+    known to be balanced.
     """
     if centroids is not None:
         cent = np.asarray(centroids, dtype=np.float64)
@@ -160,8 +163,16 @@ def ivf_topk(
         # one count barrier over the assignment (cells only, no vectors);
         # the n_subs table is <= n_centroids rows — always broadcast
         c = c.localCheckpoint(eager=True)  # assignment UDF feeds 2 consumers
-        sizes = c.groupBy("cell").agg(
-            F.ceil(F.count("*") / max_cell).cast("int").alias("n_subs")
+        counts = c.groupBy("cell").agg(F.count("*").alias("cnt"))
+        if max_cell == "auto":
+            # cap = ceil(4*n/k): n from a window sum over the tiny
+            # per-cell count table (<= n_centroids rows), no second job
+            total = Window.partitionBy()
+            cap = F.ceil(4 * F.sum("cnt").over(total) / n_centroids)
+        else:
+            cap = F.lit(int(max_cell))
+        sizes = counts.select(
+            "cell", F.ceil(F.col("cnt") / cap).cast("int").alias("n_subs")
         )
         c = c.join(F.broadcast(sizes), "cell").withColumn(
             "sub",

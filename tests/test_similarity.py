@@ -125,3 +125,40 @@ def test_ivf_max_cell_split_preserves_results(spark):
     assert max(r["count"] for r in got) <= 40
     hot = max(by_cell, key=by_cell.get)
     assert len({r.sub for r in got if r.cell == hot}) > 1
+
+
+def test_ivf_auto_max_cell_default(spark):
+    """The default max_cell='auto' (ceil(4*n/k), plan_audit check 9's
+    bound) is result-identical to the unsplit plan AND actually splits
+    a degenerate one-hot-cell corpus (where every vector lands in one
+    centroid, auto cap = ceil(4*n/k) < n for k > 4)."""
+    rng = np.random.default_rng(11)
+    # 200 near-identical vectors -> all in one cell of 8
+    base_vec = rng.normal(size=8)
+    m = base_vec + rng.normal(scale=1e-3, size=(200, 8))
+    emb = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(len(m))],
+        "vec_id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, m[0].tolist())], "query_id int, embedding array<float>"
+    )
+    # handcrafted centroids: cell 0 = the cluster, cells 1-7 far away,
+    # so ALL 200 vectors assign to cell 0 (k-means would re-split the
+    # noise and defeat the degenerate-corpus setup)
+    cent = np.vstack([base_vec, rng.normal(loc=50.0, size=(7, 8))])
+    auto = sorted(tuple(r) for r in sim.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, centroids=cent
+    ).collect())
+    off = sorted(tuple(r) for r in sim.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, centroids=cent,
+        max_cell=None,
+    ).collect())
+    assert auto == off and len(auto) == 5
+    # the auto cap on this corpus: hot cell has ~200 vecs, cap =
+    # ceil(4*200/8) = 100 -> the hot cell must split into >= 2 subs
+    cells, _ = sim.assign_cells(m.astype(np.float64), cent, 1)
+    import collections
+
+    hot_n = max(collections.Counter(cells.tolist()).values())
+    assert hot_n > 100  # precondition: auto cap genuinely bites

@@ -206,6 +206,19 @@ def main() -> None:
     check("ivf_cell_skew", max_cell is not None and max_cell <= cap,
           f"max IVF cell {max_cell} <= 4*n/k = {cap:.1f} ({n_vec} vecs, {len(cent)} cells)")
 
+    # 9b. the DEFAULT ivf_topk path carries the auto hot-cell re-split:
+    # the physical plan must join on (cell, sub), so a deployment that
+    # calls ivf_topk with defaults gets the skew remedy without opting in
+    q1 = spark.createDataFrame(
+        [(0, pq.read_table(f"{SF}/embeddings.parquet").column("embedding")[0].as_py())],
+        "query_id int, embedding array<double>",
+    )
+    default_plan = sim.ivf_topk(
+        emb, q1, k=5, n_centroids=len(cent), n_probe=2, centroids=cent
+    )._jdf.queryExecution().executedPlan().toString()
+    check("ivf_auto_split_default", "sub" in default_plan,
+          "default ivf_topk plan joins on (cell, sub) — auto re-split active")
+
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
