@@ -365,6 +365,45 @@ def q_crawl_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["schedule"].select("round", "position", "url", "host", "depth")
 
 
+def q_crawl_stream_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming crawl ingest seam (streaming/ingest.py) with
+    a DuckDB hash oracle: the seeds land as candidate file 0 and an
+    empty candidate file 1 follows, so availableNow drains exactly two
+    micro-batches = two scheduling rounds (round 1 runs purely on the
+    outlinks carried from round 0 — the batch driver's feedback path).
+    The oracle is the SAME unrolled multiround CTE as crawl_multiround,
+    restricted to 2 rounds: stream-vs-batch parity is hash-checked by
+    the driver, not just pytest."""
+    import os
+    import tempfile
+
+    fd = fixtures.ensure_default(500)
+    docs = spark.read.parquet(str(fd / "documents_spans.parquet"))
+    seeds = spark.read.parquet(str(fd / "seeds.parquet"))
+    robots = spark.read.parquet(str(fd / "robots_rules.parquet"))
+
+    from cc_dbp_spark.streaming import ingest
+
+    tmp = tempfile.mkdtemp(prefix="crawl_stream_")
+    src = os.path.join(tmp, "cand")
+    os.makedirs(src)
+    seeds.select("url", F.col("depth").cast("int")).toPandas().to_parquet(
+        os.path.join(src, "batch_0.parquet")
+    )
+    # zero-row candidate file: still one file -> one micro-batch, so
+    # round 1 fires with only the carried outlinks
+    seeds.select("url", F.col("depth").cast("int")).limit(0).toPandas().to_parquet(
+        os.path.join(src, "batch_1.parquet")
+    )
+    os.utime(os.path.join(src, "batch_0.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(src, "batch_1.parquet"), (1_700_000_060, 1_700_000_060))
+
+    cfg = frontier.CrawlConfig(round_budget_s=10.0, use_bloom=True)
+    sc = ingest.StreamingCrawl(spark, robots, docs, cfg)
+    sched = sc.run_available_now(src, os.path.join(tmp, "ckpt"))
+    return sched.select("round", "position", "url", "host", "depth")
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 WARC record reader end-to-end: documents grouped 16-per-file
     into deterministic fixture WARC bytes (warcinfo + request + response
@@ -1133,42 +1172,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate (round-3 verdict: the driver's
-    correctness gate processed exactly the first 50 entries):
+    """Registry order is deliberate (the driver's correctness gate
+    processes exactly the first 50 entries; r1-r4 verdicts):
 
-    1. the queries that have never earned a driver-green row (the r3
-       registry tail) plus this round's NEW queries come FIRST;
-    2. then everything else cheapest-first (sf0.01 check cost), so a
-       count- or time-budgeted gate covers the maximum number of
-       entries; the heaviest queries (crawl_multiround, the mention
-       family) sit last — they already hold r3 driver-green rows."""
+    1. STANDING POLICY (r4 verdict): any query whose implementation or
+       oracle changed in-round sits inside the window, plus every query
+       that missed the previous round's gate, plus new queries;
+    2. then stable previously-green queries; the 14 tail entries are all
+       r4 driver-green, UNCHANGED this round, and cheap to re-verify via
+       tools/check_entry.py if needed."""
     return {
-        # -- never driver-checked (r3 tail) + new this round ---------
-        "tensor_lines": q_tensor_lines,
-        "html_extract_density": q_html_extract_density,
-        "gazetteer_label_filter": q_gazetteer_label_filter,
+        # -- r4-unchecked (rotated in per the standing policy) --------
+        "mention_pairs": q_mention_pairs,
+        "mention_groups": q_mention_groups,
+        "mention_downsample": q_mention_downsample,
+        "mention_downsample_ratio": q_mention_downsample_ratio,
+        "mention_types": q_mention_types,
+        "crawl_round_set": q_crawl_round_set,
+        "crawl_multiround": q_crawl_multiround,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "neardup_components": q_neardup_components,
+        "video_frames": q_video_frames,
+        "resize_plan": q_resize_plan,
+        # -- new or changed this round --------------------------------
+        "crawl_stream_rounds": q_crawl_stream_rounds,
         "mention_pairs_window": q_mention_pairs_window,
+        "gazetteer_label_filter": q_gazetteer_label_filter,
+        "tensor_lines": q_tensor_lines,
+        "warc_parse": q_warc_parse,
+        "ann_ivf": q_ann_ivf,
+        # -- stable r4 driver-green -----------------------------------
+        "html_extract_density": q_html_extract_density,
         "gazetteer_overlap_clean": q_gazetteer_overlap_clean,
         "doc_downsample": q_doc_downsample,
         "opic_scores": q_opic_scores,
         "vocab_autotune": q_vocab_autotune,
         "relex_stats": q_relex_stats,
         "taxonomy_expand": q_taxonomy_expand,
-        "doc_json_roundtrip": q_doc_json_roundtrip,
-        "html_extract": q_html_extract,
-        # -- previously driver-green, cheap -> heavy ------------------
-        "literal_clean": q_literal_clean,
-        "ntriples_parse": q_ntriples_parse,
-        "tsv_scan": q_tsv_scan,
-        "langid_trigram": q_langid_trigram,
-        "w2v_lines": q_w2v_lines,
-        "doc_split": q_doc_split,
-        "span_invariant": q_span_invariant,
-        "label_merge": q_label_merge,
-        "uri_labels": q_uri_labels,
-        "select_types": q_select_types,
-        "learning_curve": q_learning_curve,
-        "lineitem_pricing": q_lineitem_pricing,
         "events_hourly": q_events_hourly,
         "topk_per_host": q_topk_per_host,
         "url_canonicalize": q_url_canonicalize,
@@ -1187,26 +1228,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "ann_brute": q_ann_brute,
-        "ann_ivf": q_ann_ivf,
         "gazetteer_mentions": q_gazetteer_mentions,
-        "warc_parse": q_warc_parse,
         "ngram_jaccard": q_ngram_jaccard,
         "emb_near_dups": q_emb_near_dups,
         "triple_counts": q_triple_counts,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
-        "video_frames": q_video_frames,
-        "resize_plan": q_resize_plan,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "neardup_components": q_neardup_components,
-        "mention_downsample": q_mention_downsample,
-        "mention_types": q_mention_types,
-        "mention_pairs": q_mention_pairs,
-        "mention_groups": q_mention_groups,
-        "mention_downsample_ratio": q_mention_downsample_ratio,
-        "crawl_round_set": q_crawl_round_set,
-        "crawl_multiround": q_crawl_multiround,
+        # ================= 50-query window boundary ==================
+        # tail: r4 driver-green, UNCHANGED in r5 (verified via
+        # check_entry this session regardless)
+        "html_extract": q_html_extract,
+        "doc_json_roundtrip": q_doc_json_roundtrip,
+        "literal_clean": q_literal_clean,
+        "ntriples_parse": q_ntriples_parse,
+        "tsv_scan": q_tsv_scan,
+        "langid_trigram": q_langid_trigram,
+        "w2v_lines": q_w2v_lines,
+        "doc_split": q_doc_split,
+        "span_invariant": q_span_invariant,
+        "label_merge": q_label_merge,
+        "uri_labels": q_uri_labels,
+        "select_types": q_select_types,
+        "learning_curve": q_learning_curve,
+        # TPC-ish demo, no SURVEY ID (r4 verdict task 9: out of window)
+        "lineitem_pricing": q_lineitem_pricing,
     }
 
 
@@ -2417,6 +2462,11 @@ def oracle_sql() -> dict[str, str]:
         # _multiround_oracle_sql) — schedule order, positions, seen-set,
         # frontier and credit feedback all recomputed independently.
         "crawl_multiround": _multiround_oracle_sql(_fd_dir, crawl_ties, 3),
+        # streaming ingest seam: 2 micro-batches (seeds file + empty
+        # file) == the batch crawl's first 2 rounds, so the oracle is
+        # the same unrolled CTE cut at 2 rounds — prefix-stable because
+        # round r never depends on round r+1
+        "crawl_stream_rounds": _multiround_oracle_sql(_fd_dir, crawl_ties, 2),
         # OPIC oracle: the 2-round cash propagation UNROLLED into chained
         # CTEs (fixed n_rounds makes the iteration SQL-expressible) —
         # same float op order as kb.opic_scores (uniform computed as
