@@ -681,6 +681,38 @@ def q_gazetteer_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "entity_id", "char_start", "char_end")
 
 
+def q_gazetteer_mentions_ruletok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 gazetteer matching over the RULE tokenizer's divergence cases
+    (tokenize.py rule_tokenize_with_offsets; reference substrate
+    ClearNLPTokenize -> GazetteerMatcher.java:109-241). Every document
+    gets a deterministic punctuation/abbreviation-heavy template:
+
+        Dr. {w1} said: ({w2})! don't miss the {w3}, or the hash join.
+
+    whose rule tokenization is fixed by construction (19 tokens: the
+    abbreviation keeps its period, '({w2})!' sheds its punctuation,
+    "don't" splits do+n't, '{w3},' and the final 'join.' shed theirs).
+    The DuckDB oracle hand-encodes THAT tokenization — token indices
+    and char offsets as pure length arithmetic over the three word
+    slots — so it is independent of the Python tokenizer: a regression
+    to whitespace tokens loses the (w2), w3 and hash-join matches and
+    shifts every token index, flipping the hash."""
+    d = _docs(spark, sf_dir)
+    gw = F.array(*[F.lit(w) for w in GAZ_WORDS])
+    w1 = F.element_at(gw, (F.pmod(F.col("doc_id"), 10) + 1).cast("int"))
+    w2 = F.element_at(gw, (F.pmod(F.col("doc_id") + 3, 10) + 1).cast("int"))
+    w3 = F.element_at(gw, (F.pmod(F.col("doc_id") + 7, 10) + 1).cast("int"))
+    text = F.concat(
+        F.lit("Dr. "), w1, F.lit(" said: ("), w2,
+        F.lit(")! don't miss the "), w3, F.lit(", or the hash join."),
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    m = gazetteer.match_documents(docs, GAZ_ENTRIES)
+    return m.select(
+        "doc_id", "entity_id", "tok_start", "tok_end", "char_start", "char_end"
+    )
+
+
 def _mention_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # P8 exact bounds (CreateTsvDataset.java:167-170, defaults
@@ -1197,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_plan": q_resize_plan,
         # -- new or changed this round --------------------------------
         "crawl_stream_rounds": q_crawl_stream_rounds,
+        "gazetteer_mentions_ruletok": q_gazetteer_mentions_ruletok,
         "mention_pairs_window": q_mention_pairs_window,
         "gazetteer_label_filter": q_gazetteer_label_filter,
         "tensor_lines": q_tensor_lines,
@@ -2065,6 +2098,48 @@ def oracle_sql() -> dict[str, str]:
                    '/deny-' || source || '/ok/' AS allow,
                    0.5 AS crawl_delay_s
             FROM (SELECT DISTINCT source FROM documents)
+        """,
+        # rule-tokenizer divergence oracle: the template's rule
+        # tokenization is hand-encoded as length arithmetic (19 tokens,
+        # w1@1, w2@5, w3@12, hash@16 + hash_join@[16,18) + join@17),
+        # independent of the Python tokenizer — see
+        # q_gazetteer_mentions_ruletok. Prefix lengths: 'Dr. '=4,
+        # ' said: ('=8, ')! don't miss the '=18, ', or the '=9,
+        # 'hash'=4, ' join'=+5/-... trailing '.' not matched.
+        "gazetteer_mentions_ruletok": f"""
+            WITH gw(idx, word) AS (VALUES {", ".join(
+                f"({i}, '{w}')" for i, w in enumerate(GAZ_WORDS))}),
+            d AS (
+              SELECT doc_id, g1.word AS w1, g2.word AS w2, g3.word AS w3,
+                     length(g1.word) AS l1, length(g2.word) AS l2,
+                     length(g3.word) AS l3
+              FROM documents
+              JOIN gw g1 ON g1.idx = doc_id % 10
+              JOIN gw g2 ON g2.idx = (doc_id + 3) % 10
+              JOIN gw g3 ON g3.idx = (doc_id + 7) % 10)
+            SELECT doc_id, 'ent:' || w1 AS entity_id,
+                   1 AS tok_start, 2 AS tok_end,
+                   4 AS char_start, CAST(4 + l1 AS INT) AS char_end
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'ent:' || w2, 5, 6,
+                   CAST(l1 + 12 AS INT), CAST(l1 + 12 + l2 AS INT) FROM d
+            UNION ALL
+            SELECT doc_id, 'ent:' || w3, 12, 13,
+                   CAST(l1 + l2 + 30 AS INT),
+                   CAST(l1 + l2 + 30 + l3 AS INT) FROM d
+            UNION ALL
+            SELECT doc_id, 'ent:hash', 16, 17,
+                   CAST(l1 + l2 + l3 + 39 AS INT),
+                   CAST(l1 + l2 + l3 + 43 AS INT) FROM d
+            UNION ALL
+            SELECT doc_id, 'ent:hash_join', 16, 18,
+                   CAST(l1 + l2 + l3 + 39 AS INT),
+                   CAST(l1 + l2 + l3 + 48 AS INT) FROM d
+            UNION ALL
+            SELECT doc_id, 'ent:join', 17, 18,
+                   CAST(l1 + l2 + l3 + 44 AS INT),
+                   CAST(l1 + l2 + l3 + 48 AS INT) FROM d
         """,
         "gazetteer_mentions": _MENTION_CTE_UNBOUNDED + """
             SELECT doc_id, entity_id, cstart AS char_start, cend AS char_end
