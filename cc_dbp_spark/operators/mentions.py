@@ -85,15 +85,44 @@ def sentence_bounds(
     max_tokens: int = 100,
     min_chars: int = 2,
     max_chars: int = 400,
+    tokens: str = "whitespace",
 ) -> DataFrame:
     """P8 exact sentence-bounds predicate (CreateTsvDataset.java:167-170):
-    keep sentences with whitespace-token count in [min_tokens, max_tokens]
-    and char length in [min_chars, max_chars]. Defaults are the
-    reference's (RelexConfig.java:145-163: 2/100 tokens, 2/400 chars);
-    whitespace tokens stand in for the reference's Token annotations.
-    Token counting splits on WHITESPACE RUNS (a literal-space split
-    counted empty tokens at double spaces and missed tabs entirely)."""
-    ntok = F.size(F.split(F.trim(F.col(sent_col)), r"\s+"))
+    keep sentences with token count in [min_tokens, max_tokens] and char
+    length in [min_chars, max_chars]. Defaults are the reference's
+    (RelexConfig.java:145-163: 2/100 tokens, 2/400 chars).
+
+    TOKEN-NOTION DECISION (documented, differential-tested): the
+    reference counts Token ANNOTATIONS — i.e. rule tokens. The default
+    here counts WHITESPACE RUNS instead, deliberately: it is a native
+    column expression (no Python stage ahead of the gazetteer match)
+    and it is what every DuckDB oracle can replicate exactly. The two
+    notions relate one-sidedly — the rule tokenizer only ever splits
+    *within* a whitespace chunk, never merges across whitespace, so
+    ``whitespace count <= rule count`` always: the default can only
+    differ from reference behavior by (a) keeping a punctuation-heavy
+    sentence whose rule count exceeds ``max_tokens`` or (b) dropping a
+    short one whose punctuation would push it over ``min_tokens``.
+    Pass ``tokens='rule'`` for reference Token parity (Arrow-batched
+    count via the same rule_tokenize_with_offsets kernel the gazetteer
+    matcher uses). tests/test_mentions.py pins both modes and the
+    ordering invariant differentially."""
+    if tokens == "rule":
+        if "ruletok_count" not in _udf_cache:
+            from pyspark.sql.types import IntegerType
+
+            from cc_dbp_spark.functions import tokenize as _tok
+
+            @F.pandas_udf(IntegerType())
+            def _count(s: pd.Series) -> pd.Series:
+                return s.fillna("").map(
+                    lambda t: len(_tok.rule_tokenize_with_offsets(t)[0])
+                ).astype("int32")
+
+            _udf_cache["ruletok_count"] = _count
+        ntok = _udf_cache["ruletok_count"](F.col(sent_col))
+    else:
+        ntok = F.size(F.split(F.trim(F.col(sent_col)), r"\s+"))
     nch = F.length(F.col(sent_col))
     return sents.filter(
         ntok.between(min_tokens, max_tokens) & nch.between(min_chars, max_chars)

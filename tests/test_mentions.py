@@ -318,3 +318,36 @@ def test_sentence_bounds_counts_whitespace_runs(spark):
     # 'a  b' = 2 tokens (kept), tab-separated = 2 tokens (kept),
     # 'one' = 1 token (dropped), 101 tokens (dropped)
     assert kept == {1, 2}
+
+
+def test_sentence_bounds_token_notion_differential(spark):
+    """P8 token-notion decision (sentence_bounds docstring): default =
+    whitespace runs (native, oracle-replicable), tokens='rule' =
+    reference Token parity. Differential pins (a) both modes identical
+    on whitespace-clean text, (b) whitespace count <= rule count always
+    (the rule tokenizer only splits within chunks), (c) the concrete
+    divergence: a punctuation-heavy sentence whose rule count crosses a
+    bound the whitespace count does not."""
+    from cc_dbp_spark.functions.tokenize import rule_tokenize_with_offsets
+
+    clean = [(i, 0, f"alpha beta gamma {i}") for i in range(4)]
+    # 'one.' -> whitespace 1 token (dropped at min=2), rule 2 tokens
+    # ('one', '.') -> kept under tokens='rule'
+    punct = [(10, 0, "one."),
+             # 3 whitespace chunks but 8 rule tokens: crosses max=5
+             (11, 0, "(a)! (b)? c,")]
+    sents = spark.createDataFrame(
+        clean + punct, "doc_id bigint, sent_id int, sentence string"
+    )
+    ws = {r.doc_id for r in M.sentence_bounds(sents, max_tokens=5).collect()}
+    rl = {r.doc_id for r in
+          M.sentence_bounds(sents, max_tokens=5, tokens="rule").collect()}
+    assert ws & {0, 1, 2, 3} == rl & {0, 1, 2, 3} == {0, 1, 2, 3}  # (a)
+    # (c) concrete flips in both directions
+    assert 10 not in ws and 10 in rl      # min bound: rule keeps
+    assert 11 in ws and 11 not in rl      # max bound: rule drops
+    # (b) ordering invariant on every fixture sentence
+    for _, _, s in clean + punct:
+        ws_n = len(s.split())
+        rl_n = len(rule_tokenize_with_offsets(s)[0])
+        assert ws_n <= rl_n
