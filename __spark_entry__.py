@@ -375,6 +375,7 @@ def q_crawl_stream_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to 2 rounds: stream-vs-batch parity is hash-checked by
     the driver, not just pytest."""
     import os
+    import shutil
     import tempfile
 
     fd = fixtures.ensure_default(500)
@@ -385,23 +386,36 @@ def q_crawl_stream_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_dbp_spark.streaming import ingest
 
     tmp = tempfile.mkdtemp(prefix="crawl_stream_")
-    src = os.path.join(tmp, "cand")
-    os.makedirs(src)
-    seeds.select("url", F.col("depth").cast("int")).toPandas().to_parquet(
-        os.path.join(src, "batch_0.parquet")
-    )
-    # zero-row candidate file: still one file -> one micro-batch, so
-    # round 1 fires with only the carried outlinks
-    seeds.select("url", F.col("depth").cast("int")).limit(0).toPandas().to_parquet(
-        os.path.join(src, "batch_1.parquet")
-    )
-    os.utime(os.path.join(src, "batch_0.parquet"), (1_700_000_000, 1_700_000_000))
-    os.utime(os.path.join(src, "batch_1.parquet"), (1_700_000_060, 1_700_000_060))
+    try:
+        src = os.path.join(tmp, "cand")
+        os.makedirs(src)
+        seeds.select("url", F.col("depth").cast("int")).toPandas().to_parquet(
+            os.path.join(src, "batch_0.parquet")
+        )
+        # zero-row candidate file: still one file -> one micro-batch, so
+        # round 1 fires with only the carried outlinks
+        seeds.select("url", F.col("depth").cast("int")).limit(0).toPandas().to_parquet(
+            os.path.join(src, "batch_1.parquet")
+        )
+        os.utime(os.path.join(src, "batch_0.parquet"),
+                 (1_700_000_000, 1_700_000_000))
+        os.utime(os.path.join(src, "batch_1.parquet"),
+                 (1_700_000_060, 1_700_000_060))
 
-    cfg = frontier.CrawlConfig(round_budget_s=10.0, use_bloom=True)
-    sc = ingest.StreamingCrawl(spark, robots, docs, cfg)
-    sched = sc.run_available_now(src, os.path.join(tmp, "ckpt"))
-    return sched.select("round", "position", "url", "host", "depth")
+        cfg = frontier.CrawlConfig(round_budget_s=10.0, use_bloom=True)
+        sc = ingest.StreamingCrawl(spark, robots, docs, cfg)
+        sched = sc.run_available_now(src, os.path.join(tmp, "ckpt"))
+        # schedules are already materialized inside each micro-batch
+        # (advance_round_state materialize_all_state); the eager
+        # checkpoint of the tiny budget-capped result makes the returned
+        # DF provably independent of the temp candidate/checkpoint files
+        # removed below, so repeated gate/bench invocations leave nothing
+        # behind in /tmp
+        return sched.select(
+            "round", "position", "url", "host", "depth"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -281,10 +281,12 @@ def _cpu_control(workers_list=(1, 8, 32)) -> dict:
 
 def _one_crawl_probe(cores: int, n_urls: int = CRAWL_N_URLS,
                      rounds: int = 5) -> dict | None:
-    # timeout scales with probe size and round count; expiry returns
+    # timeout scales with probe size and round count — including the up
+    # to 3 EXTRA rounds run_crawl_only's spread guard may add under the
+    # very contention this budget exists to survive; expiry returns
     # None (skip the probe) instead of killing the whole bench after
     # the suite ran — this VM's tenant contention swings wall time 2.5-3x
-    budget = (300 + 220 * (rounds + 1)) * max(1, -(-n_urls // CRAWL_N_URLS))
+    budget = (300 + 220 * (rounds + 1 + 3)) * max(1, -(-n_urls // CRAWL_N_URLS))
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--crawl-only", "--cores", str(cores),

@@ -21,7 +21,6 @@ candidate partition, never broadcast whole.
 from __future__ import annotations
 
 import math
-import weakref
 
 import numpy as np
 import pandas as pd
@@ -168,12 +167,18 @@ def empty_bloom_df(spark):
     return spark.createDataFrame([], "pid int, bitmap binary")
 
 
-# one live probe broadcast per SparkContext (see flag_with_broadcast_bloom).
-# Keyed by applicationId (stable, never reused across contexts — id(sc)
-# could collide after GC) and held via weakref so a dead context's entry
-# can neither pin its ~64 MB driver copy for the process lifetime nor be
-# unpersisted by an unrelated successor.
-_last_probe_broadcast: dict[str, "weakref.ref"] = {}
+# The live probe broadcast, one STRONG slot (app_id, Broadcast). Strong
+# because the pandas UDF closure does not retain the Python Broadcast
+# wrapper after planning — a weakref dies the moment
+# flag_with_broadcast_bloom returns (measured), making the next round's
+# unpersist a no-op and leaving every round's executor copies pinned.
+# Tagged with applicationId (stable, never reused — id(sc) can collide
+# after GC) so a successor context never unpersists a predecessor's
+# broadcast; a stale entry from a dead context is simply dropped, which
+# frees its driver-side value. One slot bounds driver retention to
+# exactly the current round's filter, which must stay referenced anyway
+# to remain re-broadcastable for lazy re-execution.
+_last_probe_broadcast: tuple[str, object] | None = None
 
 
 def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
@@ -198,15 +203,19 @@ def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
     # its consumers were materialized by that round's checkpoint/count
     # barrier, and unpersist (unlike destroy) stays re-broadcastable
     # from the driver if some lazy plan does re-execute
+    global _last_probe_broadcast
     app_id = sc.applicationId
-    prev_ref = _last_probe_broadcast.pop(app_id, None)
-    prev = prev_ref() if prev_ref is not None else None
-    if prev is not None:
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass  # context shut down between rounds
-    _last_probe_broadcast[app_id] = weakref.ref(bparts)
+    if _last_probe_broadcast is not None:
+        prev_app, prev = _last_probe_broadcast
+        _last_probe_broadcast = None
+        if prev_app == app_id:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass  # context shut down between rounds
+        # different app: the old context is gone — its executor copies
+        # died with it; dropping the strong ref frees the driver value
+    _last_probe_broadcast = (app_id, bparts)
 
     @F.pandas_udf(BooleanType())
     def _probe(h: pd.Series) -> pd.Series:

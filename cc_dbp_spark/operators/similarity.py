@@ -160,10 +160,21 @@ def ivf_topk(
     )
     join_keys = ["cell"]
     if max_cell is not None:
-        # one count barrier over the assignment (cells only, no vectors);
-        # the n_subs table is <= n_centroids rows — always broadcast
-        c = c.localCheckpoint(eager=True)  # assignment UDF feeds 2 consumers
-        counts = c.groupBy("cell").agg(F.count("*").alias("cnt"))
+        # one count barrier over the assignment — genuinely cells only:
+        # checkpointing the full (id, cvec, cnorm, cell) projection would
+        # store a second complete copy of the embeddings in executor
+        # memory, the one thing the (now default) path must never cost at
+        # the 10^7+ regime. Column pruning drops the vectors from this
+        # checkpoint; the price is that the candidate join recomputes the
+        # assignment kernel once more (a numpy argmin over k centroids —
+        # cheap relative to persisting the corpus). The n_subs table is
+        # <= n_centroids rows — always broadcast.
+        counts = (
+            c.select("cell")
+            .localCheckpoint(eager=True)
+            .groupBy("cell")
+            .agg(F.count("*").alias("cnt"))
+        )
         if max_cell == "auto":
             # cap = ceil(4*n/k): n from a window sum over the tiny
             # per-cell count table (<= n_centroids rows), no second job

@@ -169,3 +169,35 @@ def test_bloom_probe_rejects_mismatched_spec(spark):
     bitmap = big.build_bitmap(np.arange(10, dtype=np.int64))
     with _pt.raises(ValueError, match="different bloom_capacity"):
         small.probe(np.arange(10, dtype=np.int64), bitmap)
+
+
+def test_broadcast_bloom_slot_survives_and_rotates(spark):
+    """The module-level probe-broadcast slot must hold a STRONG reference
+    (r5 review: a weakref dies the moment flag_with_broadcast_bloom
+    returns — the pandas UDF closure does not retain the Python Broadcast
+    wrapper — so the per-round unpersist was dead code and every round's
+    executor copies stayed pinned) and must rotate: the second round's
+    call unpersists round one's broadcast and installs its own."""
+    from cc_dbp_spark.operators import filters as flt
+
+    spec = flt.BloomSpec(1 << 12, num_partitions=4)
+    seen = spark.createDataFrame([(i * 104729,) for i in range(40)], "h bigint")
+    bloom = flt.update_bloom_df(flt.empty_bloom_df(spark), seen, spec, hash_col="h")
+    cand = spark.createDataFrame([(i * 104729,) for i in range(80)], "h bigint")
+
+    flt._last_probe_broadcast = None
+    flagged1 = flt.flag_with_broadcast_bloom(cand, bloom, spec, hash_col="h")
+    slot1 = flt._last_probe_broadcast
+    assert slot1 is not None, "slot empty right after the call"
+    app_id, b1 = slot1
+    assert app_id == spark.sparkContext.applicationId
+    assert b1.value is not None  # strong ref: value alive after return
+
+    # round 2: slot rotates to the new broadcast; the old one got
+    # unpersisted but stays re-broadcastable, so round 1's LAZY plan
+    # still executes correctly afterwards
+    flagged2 = flt.flag_with_broadcast_bloom(cand, bloom, spec, hash_col="h")
+    slot2 = flt._last_probe_broadcast
+    assert slot2 is not None and slot2[1] is not b1
+    assert flagged2.filter("maybe_seen").count() == 40
+    assert flagged1.filter("maybe_seen").count() == 40

@@ -216,7 +216,9 @@ def main() -> None:
     default_plan = sim.ivf_topk(
         emb, q1, k=5, n_centroids=len(cent), n_probe=2, centroids=cent
     )._jdf.queryExecution().executedPlan().toString()
-    check("ivf_auto_split_default", "sub" in default_plan,
+    # match the column REFERENCE ("sub#<exprId>"), not a bare substring a
+    # Subquery/ReusedSubquery node could satisfy with the re-split off
+    check("ivf_auto_split_default", "sub#" in default_plan,
           "default ivf_topk plan joins on (cell, sub) — auto re-split active")
 
     spark.stop()
