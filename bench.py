@@ -228,10 +228,27 @@ def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
         els = [r["elapsed_s"] for r in rs]
         return max(els) / min(els)
 
-    # spread guard: tenant bursts blow the raw spread; add up to 3 extra
-    # rounds (all raws still reported) so the median settles
+    def _core_spread(rs):
+        # spread over the `rounds` values nearest the median — the set
+        # the reported median is actually supported by. A single tenant
+        # burst leaves the RAW spread >1.5 forever (the outlier stays in
+        # max()) even when the distribution around the median is tight;
+        # this statistic answers "is the median settled", the raw spread
+        # answers "how noisy was the box". Both are reported.
+        import statistics as _st
+
+        els = sorted(r["elapsed_s"] for r in rs)
+        med = _st.median(els)
+        core = sorted(els, key=lambda e: abs(e - med))[:rounds]
+        return max(core) / min(core)
+
+    # spread guard: tenant bursts blow the spread; add up to 3 extra
+    # rounds (all raws still reported) until the median's supporting
+    # window is tight — guarding on the CORE spread stops early once
+    # the median has settled instead of burning all 3 extras chasing a
+    # single unremovable outlier
     extra = 0
-    while _spread(runs) > 1.5 and extra < 3:
+    while _core_spread(runs) > 1.5 and extra < 3:
         runs.append(crawl_round_bench(spark, n_urls))
         controls.append(_control_mops())
         extra += 1
@@ -245,6 +262,7 @@ def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
     res["cores"] = cores
     res["all_runs_s"] = [r["elapsed_s"] for r in runs]
     res["raw_spread"] = round(_spread(runs), 2)
+    res["core_spread"] = round(_core_spread(runs), 2)
     ctrl = statistics.median(controls)
     res["cpu_control_mops"] = round(ctrl, 1)
     res["cpu_control_raw"] = controls
