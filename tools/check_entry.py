@@ -47,6 +47,14 @@ def multiset(rows, cols_order):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the oracle SQL embeds precomputed-fixture parquet paths (lc draws,
+    # shingle hashes, IVF assignments) resolved via _oracle_sf() at
+    # oracle_sql() call time; point them at the SAME sf as the views or
+    # a non-default sf compares fresh Spark results against the default
+    # scale's fixtures (an explicit caller-set env var still wins)
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = get_spark("check-entry")
     con = duckdb.connect()
     for t in TABLES:
