@@ -181,6 +181,28 @@ def empty_bloom_df(spark):
 _last_probe_broadcast: tuple[str, object] | None = None
 
 
+def release_probe_broadcast() -> None:
+    """Teardown for the probe-broadcast slot: unpersist the FINAL
+    round's executor copies and drop the driver-side reference (the
+    per-round rotation in :func:`flag_with_broadcast_bloom` only ever
+    releases the previous round, so without this a long-lived driver
+    pins the last filter — up to ~64 MB × (1 + executors) — until the
+    process exits). Safe to call at any point: ``unpersist`` keeps the
+    broadcast re-broadcastable from the driver JVM, so a still-lazy
+    plan that probes it simply re-ships the value on execution.
+    CrawlDriver.run and StreamingCrawl.run_available_now call this when
+    their rounds complete."""
+    global _last_probe_broadcast
+    if _last_probe_broadcast is None:
+        return
+    _, prev = _last_probe_broadcast
+    _last_probe_broadcast = None
+    try:
+        prev.unpersist(False)
+    except Exception:
+        pass  # context already shut down
+
+
 def flag_with_broadcast_bloom(candidates_df, bloom_df, spec: BloomSpec,
                               hash_col: str = "url_hash",
                               flag_col: str = "maybe_seen"):

@@ -1174,6 +1174,10 @@ class CrawlDriver:
             emitted.append(out["emitted"].localCheckpoint(eager=False))
             if n_sched == 0 and n_out == 0:
                 break
+        # rounds complete: drop the final round's probe broadcast (the
+        # per-round rotation only releases the PREVIOUS round; lazy
+        # consumers re-broadcast from the driver JVM if they execute)
+        flt.release_probe_broadcast()
         import functools
 
         if not batches:

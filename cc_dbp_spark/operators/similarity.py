@@ -165,10 +165,12 @@ def ivf_topk(
         # store a second complete copy of the embeddings in executor
         # memory, the one thing the (now default) path must never cost at
         # the 10^7+ regime. Column pruning drops the vectors from this
-        # checkpoint; the price is that the candidate join recomputes the
-        # assignment kernel once more (a numpy argmin over k centroids —
-        # cheap relative to persisting the corpus). The n_subs table is
-        # <= n_centroids rows — always broadcast.
+        # checkpoint; the price is that the candidate join re-evaluates
+        # the emb lineage (scan + norm + assignment) once more. If emb is
+        # itself EXPENSIVE to produce (an embedding UDF over text, a
+        # multi-join), persist/checkpoint it before calling — this
+        # operator deliberately does not cache the corpus for you.
+        # The n_subs table is <= n_centroids rows — always broadcast.
         counts = (
             c.select("cell")
             .localCheckpoint(eager=True)
@@ -185,12 +187,23 @@ def ivf_topk(
         sizes = counts.select(
             "cell", F.ceil(F.col("cnt") / cap).cast("int").alias("n_subs")
         )
-        c = c.join(F.broadcast(sizes), "cell").withColumn(
+        # LEFT join + n_subs default 1: the counts above are a snapshot
+        # of one evaluation of the emb lineage, and the joins below
+        # re-evaluate it — under a NONDETERMINISTIC emb source (unseeded
+        # sample(), unordered limit()) a vector can land in a cell the
+        # snapshot never saw. An inner join would silently drop it (and
+        # queries probing that cell); defaulting the missing cell to one
+        # sub keeps both sides consistent (candidate sub = pmod(h,1) = 0,
+        # query probes exactly sub 0), so drift degrades to an unsplit
+        # cell instead of a missing neighbor. Deterministic sources hit
+        # every cell in sizes and behave identically to the inner join.
+        nsubs = F.coalesce(F.col("n_subs"), F.lit(1))
+        c = c.join(F.broadcast(sizes), "cell", "left").withColumn(
             "sub",
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("n_subs")).cast("int"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), nsubs).cast("int"),
         ).drop("n_subs")
-        q = q.join(F.broadcast(sizes), "cell").withColumn(
-            "sub", F.explode(F.sequence(F.lit(0).cast("int"), F.col("n_subs") - 1))
+        q = q.join(F.broadcast(sizes), "cell", "left").withColumn(
+            "sub", F.explode(F.sequence(F.lit(0).cast("int"), nsubs - 1))
         ).drop("n_subs")
         join_keys = ["cell", "sub"]
     scored = q.join(c, join_keys).withColumn(

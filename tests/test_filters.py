@@ -201,3 +201,22 @@ def test_broadcast_bloom_slot_survives_and_rotates(spark):
     assert slot2 is not None and slot2[1] is not b1
     assert flagged2.filter("maybe_seen").count() == 40
     assert flagged1.filter("maybe_seen").count() == 40
+
+
+def test_release_probe_broadcast_drops_slot_and_is_idempotent(spark):
+    """Crawl-end teardown: the slot empties, the flagged plan still
+    executes afterwards (unpersist keeps the broadcast re-shippable
+    from the driver JVM), and a second release is a no-op."""
+    from cc_dbp_spark.operators import filters as flt
+
+    spec = flt.BloomSpec(1 << 12, num_partitions=4)
+    seen = spark.createDataFrame([(i * 104729,) for i in range(40)], "h bigint")
+    bloom = flt.update_bloom_df(flt.empty_bloom_df(spark), seen, spec, hash_col="h")
+    cand = spark.createDataFrame([(i * 104729,) for i in range(80)], "h bigint")
+
+    flagged = flt.flag_with_broadcast_bloom(cand, bloom, spec, hash_col="h")
+    assert flt._last_probe_broadcast is not None
+    flt.release_probe_broadcast()
+    assert flt._last_probe_broadcast is None
+    flt.release_probe_broadcast()  # idempotent
+    assert flagged.filter("maybe_seen").count() == 40  # lazy plan survives
