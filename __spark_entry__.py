@@ -1349,15 +1349,18 @@ _MENTION_CTE_TMPL = f"""
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS cstart
     FROM toks
   ),
-  ment AS (
+  ment0 AS (
     SELECT doc_id, text, 'ent:' || word AS entity_id,
-           cstart, cstart + length(word) AS cend
+           cstart, cstart + length(word) AS cend, 1 AS ntok
     FROM offs WHERE word IN {_GAZ_WORDS_SQL}
     UNION ALL
     SELECT a.doc_id, a.text, 'ent:' || a.word || '_' || b.word AS entity_id,
-           a.cstart, b.cstart + length(b.word) AS cend
+           a.cstart, b.cstart + length(b.word) AS cend, 2 AS ntok
     FROM offs a JOIN offs b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
     WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL})
+  ),
+  ment AS (
+    SELECT doc_id, text, entity_id, cstart, cend FROM ment0 m__POSTGAZ__
   ),
   rawpairs AS (
     SELECT m1.doc_id, m1.text,
@@ -1369,8 +1372,11 @@ _MENTION_CTE_TMPL = f"""
      AND (m1.cend <= m2.cstart OR m2.cend <= m1.cstart)
   ),
   best AS (
+    -- tie-break = bestSpanPair iteration order: annotation order is
+    -- (start asc, LONGER first), strictly-greater keeps the first
     SELECT *, row_number() OVER (
-      PARTITION BY doc_id, id1, id2 ORDER BY gap ASC, s1 ASC, s2 ASC) AS rn
+      PARTITION BY doc_id, id1, id2
+      ORDER BY gap ASC, s1 ASC, e1 DESC, s2 ASC, e2 DESC) AS rn
     FROM rawpairs
   ),
   rewritten AS (
@@ -1383,25 +1389,39 @@ _MENTION_CTE_TMPL = f"""
     FROM best WHERE rn = 1
   ),
   triples(arg1, rel, arg2) AS (VALUES {_TRIPLES_SQL}),
-  fa AS (
-    SELECT arg1, arg2, string_agg(rel, ',' ORDER BY rel) AS rel_fwd
-    FROM triples GROUP BY 1, 2),
-  ra AS (
-    SELECT arg2 AS a1, arg1 AS a2,
-           string_agg('<' || rel, ',' ORDER BY rel) AS rel_rev
-    FROM triples GROUP BY 1, 2),
+  -- DirectionStyle.ignore (the reference default): getRelations'
+  -- '>'/'<' prefixes are stripped into a SET, so a relation held in
+  -- both directions collapses to one name
+  rels AS (
+    SELECT id1, id2, string_agg(rel, ',' ORDER BY rel) AS relations
+    FROM (SELECT DISTINCT * FROM (
+            SELECT arg1 AS id1, arg2 AS id2, rel FROM triples
+            UNION ALL
+            SELECT arg2 AS id1, arg1 AS id2, rel FROM triples))
+    GROUP BY 1, 2),
   labeled AS (
-    SELECT r.*, concat_ws(',', f.rel_fwd, rv.rel_rev) AS relations,
-           concat_ws(',', f.rel_fwd, rv.rel_rev) <> '' AS is_positive
+    SELECT r.*, COALESCE(rl.relations, '') AS relations,
+           COALESCE(rl.relations, '') <> '' AS is_positive
     FROM rewritten r
-    LEFT JOIN fa f ON f.arg1 = r.id1 AND f.arg2 = r.id2
-    LEFT JOIN ra rv ON rv.a1 = r.id1 AND rv.a2 = r.id2
+    LEFT JOIN rels rl ON rl.id1 = r.id1 AND rl.id2 = r.id2
   )
 """
 
-# the mention pipeline applies P8; the raw gazetteer scan does not
-_MENTION_CTE = _MENTION_CTE_TMPL.replace("__P8_BOUNDS__", _P8_BOUNDS_SQL)
-_MENTION_CTE_UNBOUNDED = _MENTION_CTE_TMPL.replace("__P8_BOUNDS__", "")
+# the mention pipeline applies P8 bounds AND PostGazClean
+# (GazetteerEDL.java:80-84: the EDL pipeline removes single-token
+# mentions nested inside a multi-token mention BEFORE any dataset
+# build); the raw gazetteer scan applies neither.
+_POSTGAZ_SQL = """
+    WHERE m.ntok > 1 OR NOT EXISTS (
+      SELECT 1 FROM ment0 l
+      WHERE l.doc_id = m.doc_id AND l.ntok > 1
+        AND l.cstart <= m.cstart AND m.cend <= l.cend)"""
+_MENTION_CTE = _MENTION_CTE_TMPL.replace(
+    "__P8_BOUNDS__", _P8_BOUNDS_SQL
+).replace("__POSTGAZ__", _POSTGAZ_SQL)
+_MENTION_CTE_UNBOUNDED = _MENTION_CTE_TMPL.replace("__P8_BOUNDS__", "").replace(
+    "__POSTGAZ__", ""
+)
 
 
 def _fixture_docs_path() -> str:
@@ -2406,11 +2426,11 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cnt >= (SELECT mc FROM pick)
         """,
         "relex_stats": _MENTION_CTE + """
-            , rels AS (
+            , per_rel AS (
               SELECT unnest(string_split(relations, ',')) AS relation
               FROM labeled WHERE relations <> ''
             )
-            SELECT relation, count(*) AS n_mentions FROM rels GROUP BY relation
+            SELECT relation, count(*) AS n_mentions FROM per_rel GROUP BY relation
             UNION ALL
             SELECT '__all__', count(*) FROM labeled
         """,
@@ -2673,8 +2693,10 @@ def oracle_sql() -> dict[str, str]:
         "mention_downsample": _MENTION_CTE + f"""
             , draws(id1, id2, neg_draw, split) AS (VALUES {pair_draws}),
             kept AS (
+              -- phase-1 boundary: reference skips on draw > fraction,
+              -- i.e. KEEPS on <= (CreateTsvDataset.java:198-204)
               SELECT l.* FROM labeled l JOIN draws d USING (id1, id2)
-              WHERE l.is_positive OR d.neg_draw < 0.25
+              WHERE l.is_positive OR d.neg_draw <= 0.25
             ),
             groups AS (
               SELECT id1, id2, bool_or(is_positive) AS positive
@@ -2692,8 +2714,9 @@ def oracle_sql() -> dict[str, str]:
         "mention_downsample_ratio": _MENTION_CTE + f"""
             , draws(id1, id2, neg_draw, split) AS (VALUES {pair_draws}),
             p1 AS (
+              -- phase-1 keeps on <= (skip when draw > fraction)
               SELECT l.* FROM labeled l JOIN draws d USING (id1, id2)
-              WHERE l.is_positive OR d.neg_draw < 0.5
+              WHERE l.is_positive OR d.neg_draw <= 0.5
             ),
             g1 AS (
               SELECT id1, id2, bool_or(is_positive) AS positive
@@ -2705,18 +2728,28 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS npos
               FROM g1
             ),
+            -- p = rescaled retain when the rescale branch fires, else
+            -- NULL (= keep phase-1). npos=0 with rows present mirrors
+            -- the reference's Infinity ratio -> retain 0.0 (drop every
+            -- negative; RelexTsvDataset.java:134-146); total=0 is the
+            -- NaN-comparison no-rescale path
             rt AS (
               SELECT CASE
-                WHEN npos <= 0 THEN 0.5
+                WHEN total = 0 THEN NULL
+                WHEN npos <= 0 THEN 0.0
                 WHEN (total - npos) * 1.0 / npos > 1.05 * 1.0
                   THEN 0.5 * (1.0 / ((total - npos) * 1.0 / npos))
-                ELSE 0.5 END AS p
+                ELSE NULL END AS p
               FROM st
             ),
             kept AS (
+              -- rescale phase keeps on STRICT < retain; the no-rescale
+              -- path is the phase-1 (<=) set unchanged
               SELECT l.* FROM labeled l JOIN draws d USING (id1, id2)
               CROSS JOIN rt
-              WHERE l.is_positive OR d.neg_draw < rt.p
+              WHERE l.is_positive OR
+                    (CASE WHEN rt.p IS NULL THEN d.neg_draw <= 0.5
+                          ELSE d.neg_draw < rt.p END)
             ),
             g2 AS (
               SELECT id1, id2, bool_or(is_positive) AS positive
@@ -2725,7 +2758,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_groups,
                    CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_positive,
-                   round((SELECT p FROM rt), 6) AS retain_prob
+                   round(COALESCE((SELECT p FROM rt), 0.5), 6) AS retain_prob
             FROM g2
         """,
         # J2 + P10: type resolution (unk/multiType) + unordered-pair allowlist

@@ -158,9 +158,15 @@ def mention_pairs(sents: DataFrame, entries) -> DataFrame:
         "sent_id",
         "sentence",
     )
-    ments = gaz.match_documents(
+    raw = gaz.match_documents(
         keyed.select("skey", "sentence"), entries, id_col="skey", text_col="sentence"
-    ).select(
+    )
+    # PostGazClean runs in the EDL pipeline BETWEEN the matcher and any
+    # dataset build (GazetteerEDL.java:80-84): single-token mentions
+    # nested inside a multi-token mention are removed BEFORE pair
+    # generation — without this, 'hash join' fabricates (hash, join)
+    # pairs the reference never emits.
+    ments = gaz.clean_overlapping_matches(raw).select(
         F.col("doc_id").alias("skey"),
         F.col("entity_id"),
         F.col("char_start"),
@@ -195,8 +201,15 @@ def mention_pairs(sents: DataFrame, entries) -> DataFrame:
             ),
         )
     )
+    # tie-break mirrors bestSpanPair's iteration (CreateTsvDataset.java
+    # :81-97): lists sorted in annotation order (start asc, LONGER first
+    # — Span.compareTo, Span.java:633-638) and a strictly-greater score
+    # update keeps the FIRST pair, so equal gaps resolve to the longer
+    # span at the earlier start (e1/e2 DESC), deterministically.
     w = Window.partitionBy("skey", "id1", "id2").orderBy(
-        F.col("gap").asc(), F.col("s1").asc(), F.col("s2").asc()
+        F.col("gap").asc(),
+        F.col("s1").asc(), F.col("e1").desc(),
+        F.col("s2").asc(), F.col("e2").desc(),
     )
     best = pairs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
         "__rn", "gap"
@@ -224,49 +237,64 @@ def mention_pairs(sents: DataFrame, entries) -> DataFrame:
     )
 
 
-def relation_join(pairs: DataFrame, triples: DataFrame) -> DataFrame:
-    """Attach GT relations: forward (id1->id2) as-is, reverse prefixed
-    '<' (GroundTruth direction encoding, GroundTruth.java:45-46,341-355).
-    triples: (arg1, rel, arg2) — small, broadcast both probes.
+def relation_join(
+    pairs: DataFrame, triples: DataFrame, direction_style: str = "ignore"
+) -> DataFrame:
+    """Attach GT relations. ``GroundTruth.getRelations`` returns the
+    pair's relations prefixed '>' for forward (id1->id2) and '<' for
+    backward (GroundTruth.java:335-355), and the pipeline's DEFAULT
+    ``DirectionStyle.ignore`` (RelexConfig.java:106) immediately strips
+    the prefix into a SET (CreateTsvDataset.java:278-292) — so a
+    relation held in BOTH directions collapses to one name, and
+    per-relation stats count such a mention once, not twice.
+    ``direction_style='ignore'`` (default) reproduces that;
+    ``'raw'`` keeps the prefixed encoding ('>'+rel / '<'+rel) for
+    callers implementing the other DirectionStyles.
+    triples: (arg1, rel, arg2) — small, broadcast the probe.
 
-    Relations per direction are AGGREGATED per entity pair before the
-    join (sorted, comma-joined) — GroundTruth.getRelations returns the
-    relation SET for a pair, so a pair holding several triples (e.g.
-    after taxonomy_expand adds super-relations) must stay ONE mention
-    row with 'r1,r2' rather than fanning out into one row per relation,
-    which would inflate every downstream mention/group count."""
-    fwd = triples.groupBy(
-        F.col("arg1").alias("id1"), F.col("arg2").alias("id2")
-    ).agg(F.concat_ws(",", F.array_sort(F.collect_set("rel"))).alias("rel_fwd"))
-    rev = triples.groupBy(
-        F.col("arg2").alias("id1"), F.col("arg1").alias("id2")
-    ).agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_set("rel")),
-                lambda r: F.concat(F.lit("<"), r),
-            ),
-        ).alias("rel_rev")
+    Relations are AGGREGATED per entity pair before the join — a pair
+    holding several triples (e.g. after taxonomy_expand adds
+    super-relations) must stay ONE mention row with 'r1,r2' rather than
+    fanning out into one row per relation, which would inflate every
+    downstream mention/group count."""
+    fwd = triples.select(
+        F.col("arg1").alias("id1"), F.col("arg2").alias("id2"), F.col("rel")
+    )
+    rev = triples.select(
+        F.col("arg2").alias("id1"), F.col("arg1").alias("id2"), F.col("rel")
+    )
+    if direction_style == "ignore":
+        both = fwd.unionByName(rev)
+    elif direction_style == "raw":
+        both = fwd.withColumn("rel", F.concat(F.lit(">"), F.col("rel"))).unionByName(
+            rev.withColumn("rel", F.concat(F.lit("<"), F.col("rel")))
+        )
+    else:
+        raise ValueError(f"unknown direction_style: {direction_style!r}")
+    rels = both.groupBy("id1", "id2").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("rel"))).alias("relations")
     )
     j = (
-        pairs.join(F.broadcast(fwd), ["id1", "id2"], "left")
-        .join(F.broadcast(rev), ["id1", "id2"], "left")
-        .withColumn(
-            "relations",
-            F.concat_ws(",", F.col("rel_fwd"), F.col("rel_rev")),
-        )
+        pairs.join(F.broadcast(rels), ["id1", "id2"], "left")
+        .withColumn("relations", F.coalesce(F.col("relations"), F.lit("")))
         .withColumn("is_positive", F.col("relations") != "")
-        .drop("rel_fwd", "rel_rev")
     )
     return j
 
 
-def downsample_negatives(labeled: DataFrame, retain_prob: float) -> DataFrame:
-    """P2: keep positives, and negatives whose D3 draw < retain_prob
-    (deterministic content-keyed filter, GroundTruth.java:213-241)."""
+def downsample_negatives(
+    labeled: DataFrame, retain_prob: float, inclusive: bool = True
+) -> DataFrame:
+    """P2: keep positives, and negatives whose D3 draw passes retain_prob
+    (deterministic content-keyed filter, GroundTruth.java:213-241). The
+    reference's two phases use DIFFERENT boundary semantics: phase 1
+    SKIPS when ``priority > fraction`` (CreateTsvDataset.java:198-204),
+    i.e. keeps on ``<=`` (``inclusive=True``, the default); the Spark
+    rescale phase keeps on strict ``priority < retainNegativeProb``
+    (RelexTsvDataset.java:138-146, ``inclusive=False``)."""
     draw = _neg_udf()(F.col("id1"), F.col("id2"))
-    return labeled.filter(F.col("is_positive") | (draw < F.lit(retain_prob)))
+    keep = draw <= F.lit(retain_prob) if inclusive else draw < F.lit(retain_prob)
+    return labeled.filter(F.col("is_positive") | keep)
 
 
 def downsample_negatives_to_ratio(
@@ -295,12 +323,20 @@ def downsample_negatives_to_ratio(
         .first()
     )
     total, npos = row["total"], row["npos"] or 0
-    if npos <= 0:
+    if total == 0:
+        # reference: 0/0 = NaN, NaN > threshold is false -> no rescale
         return p1, sample_fraction
+    if npos <= 0:
+        # reference: (total-0)/0 = Infinity triggers the rescale branch
+        # with retain = fraction * (target/Infinity) = 0.0, dropping
+        # EVERY negative (RelexTsvDataset.java:134-146) — with zero
+        # positives the dataset comes out EMPTY, not untouched
+        return downsample_negatives(labeled, 0.0, inclusive=False), 0.0
     current = (total - npos) / npos
     if current > tolerance * target_ratio:
         retain = sample_fraction * (target_ratio / current)
-        return downsample_negatives(labeled, retain), retain
+        # phase 2 keeps on STRICT draw < retain (RelexTsvDataset.java:146)
+        return downsample_negatives(labeled, retain, inclusive=False), retain
     return p1, sample_fraction
 
 

@@ -53,15 +53,16 @@ def test_mention_pairs_best_span_and_rewrite(spark, docs):
     r = pairs[(2, 0, "ent:hash", "ent:join")]
     assert (r.s1, r.e1, r.s2, r.e2) == (0, 4, 10, 14)
     assert r.rewritten == "ARGONE then ARGTWO then hash again"
-    # doc 1 is ONE sentence now (lowercase continuation, guarded split)
-    # and the rule tokenizer splits "sort." into "sort" + ".", so
-    # ent:sort matches at (16,20) AND (22,26) — the punctuation-adjacent
-    # match the whitespace substrate used to miss
-    r2 = pairs[(1, 0, "ent:hash", "ent:join")]
-    assert r2.rewritten == "ARGONE ARGTWO beats sort. sort wins"
-    r3 = pairs[(1, 0, "ent:join", "ent:sort")]
-    assert (r3.s1, r3.e1, r3.s2, r3.e2) == (5, 9, 16, 20)  # closest sort wins
-    assert r3.rewritten == "hash ARGONE beats ARGTWO. sort wins"
+    # doc 1 is ONE sentence (lowercase continuation, guarded split).
+    # PostGazClean (GazetteerEDL.java:41-70, applied between matcher and
+    # pair generation) removes the single-token ent:hash/ent:join nested
+    # inside the 2-token ent:hashjoin match, so NO (hash, join) pair is
+    # fabricated for 'hash join ...' — only the container pairs survive
+    assert (1, 0, "ent:hash", "ent:join") not in pairs
+    assert (1, 0, "ent:join", "ent:sort") not in pairs
+    r3 = pairs[(1, 0, "ent:hashjoin", "ent:sort")]
+    assert (r3.s1, r3.e1, r3.s2, r3.e2) == (0, 9, 16, 20)  # closest sort wins
+    assert r3.rewritten == "ARGONE beats ARGTWO. sort wins"
 
 
 def test_relation_join_directions(spark, docs):
@@ -72,9 +73,15 @@ def test_relation_join_directions(spark, docs):
         "arg1 string, rel string, arg2 string",
     )
     lab = {(r.id1, r.id2): r.relations for r in M.relation_join(pairs, triples).collect()}
-    # pair ordered (ent:hash, ent:join): hash->join is FORWARD, join->hash
-    # is REVERSE ('<' prefix); both attach
-    assert lab[("ent:hash", "ent:join")] == "rel:x,<rel:after"
+    # DirectionStyle.ignore (reference default): both directions attach
+    # with the '>'/'<' prefixes STRIPPED into a sorted set
+    assert lab[("ent:hash", "ent:join")] == "rel:after,rel:x"
+    raw = {
+        (r.id1, r.id2): r.relations
+        for r in M.relation_join(pairs, triples, direction_style="raw").collect()
+    }
+    # raw keeps getRelations' encoding: '>'+rel forward, '<'+rel reverse
+    assert raw[("ent:hash", "ent:join")] == "<rel:after,>rel:x"
 
 
 def test_downsample_matches_kernel(spark, docs):
@@ -249,7 +256,7 @@ def test_relation_join_aggregates_multi_relation_pairs(spark):
     )
     rows = M.relation_join(pairs, triples).collect()
     assert len(rows) == 1
-    assert rows[0].relations == "rel:sup,rel:x,<rel:back"
+    assert rows[0].relations == "rel:back,rel:sup,rel:x"
     assert rows[0].is_positive
 
 
@@ -351,3 +358,77 @@ def test_sentence_bounds_token_notion_differential(spark):
         ws_n = len(s.split())
         rl_n = len(rule_tokenize_with_offsets(s)[0])
         assert ws_n <= rl_n
+
+
+def test_relation_join_bidirectional_collapses_to_one(spark):
+    """A relation held in BOTH directions must collapse to ONE set
+    element under the default DirectionStyle.ignore (the '>'/'<'
+    prefixes are stripped into a set, CreateTsvDataset.java:278-292) —
+    relex_stats must count such a mention once, not twice."""
+    pairs = spark.createDataFrame(
+        [(1, 0, "e:a", "e:b", 0, 1, 2, 3, "s", "r")],
+        "doc_id bigint, sent_id int, id1 string, id2 string, "
+        "s1 int, e1 int, s2 int, e2 int, sentence string, rewritten string",
+    )
+    triples = spark.createDataFrame(
+        [("e:a", "rel:r", "e:b"), ("e:b", "rel:r", "e:a")],
+        "arg1 string, rel string, arg2 string",
+    )
+    rows = M.relation_join(pairs, triples).collect()
+    assert rows[0].relations == "rel:r"
+    stats = {r.relation: r.n_mentions
+             for r in M.relex_stats(M.relation_join(pairs, triples)).collect()}
+    assert stats["rel:r"] == 1
+
+
+def test_downsample_phase_boundaries(spark):
+    """Phase-1 keeps a negative whose draw EQUALS the fraction (skip
+    only when strictly greater, CreateTsvDataset.java:198-204); the
+    rescale phase drops a draw equal to retain (strict <,
+    RelexTsvDataset.java:146)."""
+    from cc_dbp_spark.functions import parity
+
+    draw = parity.negative_downsample_priority(["e:a"], ["e:b"])[0]
+    lab = spark.createDataFrame(
+        [("e:a", "e:b", False)], "id1 string, id2 string, is_positive boolean"
+    )
+    assert M.downsample_negatives(lab, draw).count() == 1           # <=
+    assert M.downsample_negatives(lab, draw, inclusive=False).count() == 0
+
+
+def test_downsample_ratio_zero_positives_drops_everything(spark):
+    """npos == 0 with rows present: the reference's Infinity ratio fires
+    the rescale branch with retain 0.0 — the dataset comes out EMPTY
+    (RelexTsvDataset.java:134-146), not untouched."""
+    lab = spark.createDataFrame(
+        [("e:a", "e:b", False), ("e:c", "e:d", False)],
+        "id1 string, id2 string, is_positive boolean",
+    )
+    kept, retain = M.downsample_negatives_to_ratio(
+        lab, sample_fraction=1.0, target_ratio=1.0
+    )
+    assert retain == 0.0
+    assert kept.count() == 0
+
+
+def test_best_pair_tie_prefers_longer_span(spark):
+    """Equal gaps at the same start resolve to the LONGER mention —
+    bestSpanPair iterates annotation order (start asc, longer first,
+    Span.java:633-638) and a strictly-greater update keeps the first."""
+    # both e:A mentions are MULTI-token (PostGazClean only removes
+    # nested single-token mentions, so both survive to pairing) and
+    # share start + gap from e:B
+    docs = spark.createDataFrame(
+        [(1, "x alpha beta gamma")], "doc_id bigint, text string"
+    )
+    entries = [
+        ("e:A", ("alpha", "beta", "gamma"), False),
+        ("e:A", ("alpha", "beta"), False),
+        ("e:B", ("x",), False),
+    ]
+    sents = M.sentences(docs)
+    pairs = {(r.id1, r.id2): r for r in M.mention_pairs(sents, entries).collect()}
+    r = pairs[("e:A", "e:B")]
+    # equal gap, equal s1: e1 DESC picks 'alpha beta gamma' [2,18),
+    # not 'alpha beta' [2,12)
+    assert (r.s1, r.e1) == (2, 18)
