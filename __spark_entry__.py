@@ -197,12 +197,40 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _is_parseint_col(col):
+    """Lang.isInteger = exact Integer.parseInt acceptance as a pure-string
+    Column (the same int32 check kb.filter_gazetteer_labels uses)."""
+    canon = F.regexp_replace(F.regexp_replace(col, r"^[+-]", ""), r"^0+", "")
+    bound = F.when(col.startswith("-"), F.lit("2147483648")).otherwise(
+        F.lit("2147483647")
+    )
+    return col.rlike(r"^[+-]?\d+$") & (
+        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
+    )
+
+
+def _vocab_tokens(d: DataFrame) -> DataFrame:
+    """RelexVocab.add counting source (RelexVocab.java:56-69): every
+    normalized token, PLUS for each Integer.parseInt-accepted token its
+    '#'-digit-sequence twin of the SAME string length (toDigitSequence
+    pads to d.length(), so a sign/leading zeros count toward the
+    length) — '####' earns vocab mass from every 4-char integer, which
+    is what lets the tensor encoder's OOV-integer fallback resolve."""
+    w = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    digits = w.filter(_is_parseint_col(F.col("word"))).select(
+        F.expr("repeat('#', length(word))").alias("word")
+    )
+    return w.unionByName(digits)
+
+
 def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 reduceByKey word counts + P6 min-count (GatherRelexVocab.java:131-200)."""
+    """A1 reduceByKey word counts + P6 min-count (GatherRelexVocab.java:131-200;
+    counting spec = RelexVocab.add incl. the digit-sequence twin rows)."""
     d = _docs(spark, sf_dir)
-    w = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
     return (
-        w.filter(F.col("word") != "")
+        _vocab_tokens(d)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= 5)
@@ -210,14 +238,10 @@ def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vocab_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 threshold-ladder histogram (GatherRelexVocab.java:141-191)."""
+    """A6 threshold-ladder histogram (GatherRelexVocab.java:141-191;
+    counts per RelexVocab.add incl. digit-sequence twins)."""
     d = _docs(spark, sf_dir)
-    counts = (
-        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
+    counts = _vocab_tokens(d).groupBy("word").agg(F.count("*").alias("cnt"))
     ladder = [2, 3, 5, 8, 12, 18, 27, 41, 62, 93]
     bucket = F.lit(0)
     for t in ladder:
@@ -1114,12 +1138,10 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 vocab auto-tune: ladder histogram + smallest threshold whose
-    surviving vocabulary fits the limit (GatherRelexVocab.java:141-191)."""
+    surviving vocabulary fits the limit (GatherRelexVocab.java:141-191;
+    counts per RelexVocab.add incl. digit-sequence twins)."""
     d = _docs(spark, sf_dir)
-    w = d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-    counts = (
-        w.filter(F.col("word") != "").groupBy("word").agg(F.count("*").alias("cnt"))
-    )
+    counts = _vocab_tokens(d).groupBy("word").agg(F.count("*").alias("cnt"))
     mc, kept = ts.choose_vocab_min_count(counts, vocab_limit=20)
     return kept.select(F.lit(mc).alias("min_count"), "word", "cnt")
 
@@ -1718,6 +1740,26 @@ def _pair_draw_values() -> str:
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_SQL
     ntoks = _NORM_TOKS_SQL
+
+    def _parseint_sql(c: str) -> str:
+        """Exact Integer.parseInt acceptance (Lang.isInteger) as DuckDB
+        SQL — the same pure-string int32 check the Spark side uses."""
+        canon = f"regexp_replace(regexp_replace({c}, '^[+-]', ''), '^0+', '')"
+        return (
+            f"(regexp_matches({c}, '^[+-]?\\d+$')"
+            f" AND (length({canon}) < 10 OR (length({canon}) = 10"
+            f" AND {canon} <= CASE WHEN {c} LIKE '-%'"
+            f" THEN '2147483648' ELSE '2147483647' END)))"
+        )
+
+    # RelexVocab.add counting source: every token plus, for integer
+    # tokens, the '#'-digit-sequence twin of the same string length
+    _vocab_w_sql = f"""
+            w0 AS (SELECT unnest({ntoks}) AS word FROM documents),
+            w AS (SELECT word FROM w0 WHERE word <> ''
+                  UNION ALL
+                  SELECT repeat('#', length(word)) FROM w0
+                  WHERE {_parseint_sql('word')})"""
     tc = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
     bpe = "len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])'))"
     nonspace = "length(regexp_replace(text, '\\s+', '', 'g'))"
@@ -1789,13 +1831,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "word_counts": f"""
-            WITH w AS (SELECT unnest({ntoks}) AS word FROM documents)
+            WITH {_vocab_w_sql}
             SELECT word, count(*) AS cnt FROM w
-            WHERE word <> '' GROUP BY word HAVING count(*) >= 5
+            GROUP BY word HAVING count(*) >= 5
         """,
         "vocab_histogram": f"""
-            WITH w AS (SELECT unnest({ntoks}) AS word FROM documents),
-            c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+            WITH {_vocab_w_sql},
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
             b AS (SELECT CASE
                     WHEN cnt >= 93 THEN 93 WHEN cnt >= 62 THEN 62
                     WHEN cnt >= 41 THEN 41 WHEN cnt >= 27 THEN 27
@@ -2409,12 +2451,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE off1 END AS INT)
             FROM o WHERE tail_kept
         """,
-        "vocab_autotune": """
-            WITH w AS (
-              SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-              FROM documents
-            ),
-            c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+        "vocab_autotune": f"""
+            WITH {_vocab_w_sql},
+            c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
             ladder(t) AS (VALUES (1),(2),(3),(5),(8),(12),(18),(27),(41),(62),(93)),
             surv AS (
               SELECT t, (SELECT count(*) FROM c WHERE cnt >= t) AS n FROM ladder
@@ -2457,7 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         # pieces + sentence starts, recomputed in SQL from the same
         # documents view (vocab = min-count-5 word counts ranked
         # (cnt desc, word asc), exactly the Spark side's spec).
-        "tensor_lines": _MENTION_CTE + """
+        "tensor_lines": _MENTION_CTE + f"""
             , dedupt AS (
               SELECT DISTINCT id1, id2, s1, e1, s2, e2, text, rewritten, is_positive
               FROM labeled
@@ -2506,15 +2545,18 @@ def oracle_sql() -> dict[str, str]:
               WHERE list_position(toks, 'ARGONE') IS NOT NULL
                 AND list_position(toks, 'ARGTWO') IS NOT NULL
             ),
+            w0 AS (SELECT unnest({ntoks}) AS word FROM documents),
+            vw AS (SELECT word FROM w0 WHERE word <> ''
+                   UNION ALL
+                   SELECT repeat('#', length(word)) FROM w0
+                   WHERE {_parseint_sql('word')}),
             vocab AS (
               SELECT word,
                      CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) - 1
                           AS INT) AS vndx
               FROM (
-                SELECT w AS word, count(*) AS cnt FROM (
-                  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-                  FROM documents) t
-                WHERE w <> '' GROUP BY 1 HAVING count(*) >= 5)
+                SELECT word, count(*) AS cnt FROM vw
+                GROUP BY 1 HAVING count(*) >= 5)
             ),
             tokrows AS (
               SELECT k.id1, k.id2, k.chunk, k.sent_ndx, k.positive,
@@ -2523,8 +2565,17 @@ def oracle_sql() -> dict[str, str]:
               FROM keep k, unnest(range(0, len(k.toks))) AS u(i)
             ),
             wmap AS (
-              SELECT t.*, CAST(COALESCE(v.vndx, -1) AS INT) AS wndx
-              FROM tokrows t LEFT JOIN vocab v ON v.word = t.w
+              -- OOV integer fallback (RelexTensors.java:170-175): vocab
+              -- miss + parseInt-accepted token resolves to its '#'-digit
+              -- twin of the same string length before the final -1
+              SELECT t.id1, t.id2, t.chunk, t.sent_ndx, t.positive,
+                     t.wi, t.w, t.a1, t.a2, t.n,
+                     CAST(COALESCE(v.vndx, d.vndx, -1) AS INT) AS wndx
+              FROM tokrows t
+              LEFT JOIN vocab v ON v.word = t.w
+              LEFT JOIN vocab d
+                ON v.word IS NULL AND {_parseint_sql('t.w')}
+               AND d.word = repeat('#', length(t.w))
             ),
             persent AS (
               SELECT id1, id2, chunk, sent_ndx,

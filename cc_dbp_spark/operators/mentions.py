@@ -603,6 +603,28 @@ def encode_tensor_rows(
         F.posexplode("toks").alias("wi", "w"),
     ).withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
     tok = tok.join(vocab.select(F.col("word").alias("w"), "widx"), "w", "left")
+    # OOV integer fallback (RelexTensors.java:170-175): a token missing
+    # from the vocab that Integer.parseInt accepts resolves to its
+    # '#'-digit-sequence twin of the same string length
+    # (RelexVocab.toDigitSequence pads to d.length(), sign included)
+    # before the final -1. The parseInt test is the exact pure-string
+    # int32 check (Lang.isInteger); the vocab carries the '#' rows
+    # because RelexVocab.add double-counts every integer token.
+    canon = F.regexp_replace(F.regexp_replace(F.col("w"), r"^[+-]", ""), r"^0+", "")
+    bound = F.when(F.col("w").startswith("-"), F.lit("2147483648")).otherwise(
+        F.lit("2147483647")
+    )
+    is_int = F.col("w").rlike(r"^[+-]?\d+$") & (
+        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
+    )
+    tok = tok.withColumn(
+        "dkey",
+        F.when(F.col("widx").isNull() & is_int, F.expr("repeat('#', length(w))")),
+    ).join(
+        vocab.select(F.col("word").alias("dkey"), F.col("widx").alias("dwidx")),
+        "dkey",
+        "left",
+    ).withColumn("widx", F.coalesce("widx", "dwidx")).drop("dkey", "dwidx")
     per_sent = tok.groupBy("id1", "id2", "chunk", "sent_ndx").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("wi", "widx"))),

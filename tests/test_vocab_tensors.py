@@ -120,6 +120,27 @@ def test_encode_tensor_instances(spark):
     assert dec["words"] == r.words and dec["sent_starts"] == r.sent_starts
 
 
+def test_encode_oov_integer_digit_fallback(spark):
+    """RelexTensors.java:170-175 — an out-of-vocab token accepted by
+    Integer.parseInt resolves to its '#'-digit-sequence twin of the same
+    string length (sign/leading zeros included) before falling to -1;
+    non-integers and over-int32 numerics still map to -1."""
+    rows = spark.createDataFrame(
+        [
+            # toks: [ARGONE, met, ARGTWO, 1987, -42, 99999999999, x7]
+            ("e1", "e2", True, 0, 0, "ARGONE met ARGTWO 1987 -42 99999999999 x7"),
+        ],
+        "id1 string, id2 string, positive boolean, chunk int, sent_ndx int, ctx string",
+    )
+    vocab = spark.createDataFrame(
+        [("met", 0), ("####", 1), ("###", 2)], "word string, widx int"
+    )
+    r = M.encode_tensor_rows(rows, vocab, max_pos=8).collect()[0]
+    # 1987 -> '####' (idx 1); -42 -> '###' (idx 2, sign counts toward
+    # length); 99999999999 overflows int32 -> -1; x7 not integer -> -1
+    assert r.words == [-1, 0, -1, 1, 2, -1, -1]
+
+
 def test_binary_record_roundtrip_bit_exact(spark):
     """M14/S12: with_binary_record emits the reference TensorFileWriter
     byte layout per chunk; decoding rebuilds the exact tensor arrays and
