@@ -2299,15 +2299,29 @@ def oracle_sql() -> dict[str, str]:
               FROM toks a JOIN toks b
                 ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
               WHERE (a.word, b.word) IN ({_GAZ_PHRASES_SQL})),
+            -- annotation order = Span.compareTo (start asc, LONGER first),
+            -- entity_id asc as the deterministic equal-span stand-in
+            ordent AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY t ASC, e DESC, entity_id ASC) AS pos
+              FROM ment),
+            -- reference forward scan BREAKS at the first successor whose
+            -- token end exceeds center.e + window: y pairs only when no
+            -- entity between center and y (inclusive) violates the bound
             pairs AS (
               SELECT x.doc_id, x.entity_id AS xid, y.entity_id AS yid,
                      x.t AS xt, y.t AS yt
-              FROM ment x JOIN ment y
+              FROM ordent x JOIN ordent y
                 ON x.doc_id = y.doc_id
-               AND (y.t > x.t OR (y.t = x.t AND (y.e > x.e
-                    OR (y.e = x.e AND y.entity_id > x.entity_id))))
+               AND y.pos > x.pos
                AND y.e <= x.e + 4
-               AND x.entity_id <> y.entity_id)
+               AND x.entity_id <> y.entity_id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ordent k
+                WHERE k.doc_id = x.doc_id
+                  AND k.pos > x.pos AND k.pos < y.pos
+                  AND k.e > x.e + 4))
             SELECT DISTINCT doc_id,
                    CASE WHEN xid < yid THEN xid ELSE yid END AS id1,
                    CASE WHEN xid < yid THEN yid ELSE xid END AS id2,

@@ -160,64 +160,68 @@ def clean_overlapping_matches(matches: DataFrame) -> DataFrame:
 
 def mention_pairs_token_window(matches: DataFrame, window: int) -> DataFrame:
     """F3 token-window pair variant (``CreateTsvDatasetTokenWindow.java:165-176``),
-    reference-exact forward-scan semantics: for each center mention the
-    scan walks entities AFTER it in (tok_start, tok_end) annotation sort
-    order and keeps those whose token END falls within
-    ``center.tok_end + window`` — so a long mention that *starts* inside
-    the window but *ends* outside is excluded, exactly as the Java loop
-    bound ``entToks.get(oei).end <= tokEndNdx+1`` excludes it (the
-    ``min(tokens.size, ...)`` clamp is a no-op for the predicate since any
-    mention's tok_end <= tokens.size by construction). Equal-id pairs are
+    reference-exact forward-scan semantics. The Java loop walks entities
+    AFTER the center in annotation order — ``Span.compareTo``
+    (Span.java:633-638): start ascending, LONGER SPAN FIRST on equal
+    starts — and **breaks at the first entity whose token END exceeds
+    ``center.tok_end + window``** (the ``min(tokens.size, ...)`` clamp is
+    a no-op for the predicate since any tok_end <= tokens.size by
+    construction). The break excludes every later entity even when it
+    would itself fit the window, so the kept set is the maximal PREFIX of
+    the annotation-ordered successors satisfying
+    ``other.tok_end <= center.tok_end + window`` — a filter formulation
+    over-produces. Equal (start, end) ties take entity_id ascending (the
+    reference leaves equal-span order to matcher emission; this is the
+    deterministic stand-in, mirrored by the oracle). Equal-id pairs are
     dropped and output ids are normalized id1 < id2 with their positions.
 
-    Scale shape: the band join is bucketized on tok_end — a qualifying
-    other-mention's tok_end lies in ``(center.tok_start,
-    center.tok_end + window]``, so the center side explodes over that
-    fixed small bucket range (len/window + 2 buckets, mentions are a few
-    tokens) and the join is an equi-join on (doc, bucket), never a full
-    per-doc cross join.
+    Scale shape: one shuffle groups mentions per doc_id; the sorted
+    per-doc array is bounded by mentions-per-document (the reference
+    holds exactly the same list per document), and the break scan is a
+    native ``aggregate`` lambda over each center's successor slice —
+    no per-doc cross join, no Python stage.
     """
     from pyspark.sql import functions as F
 
-    center = matches.select(
-        F.col("doc_id"), F.col("entity_id").alias("xid"),
-        F.col("tok_start").alias("xs"), F.col("tok_end").alias("xe"),
-        F.explode(
-            F.sequence(
-                F.floor((F.col("tok_start") + 1) / window),
-                F.floor((F.col("tok_end") + window) / window),
-            )
-        ).alias("bucket"),
+    ent = F.struct(
+        F.col("tok_start").alias("ts"),
+        (-F.col("tok_end")).alias("ned"),  # longer-first on equal starts
+        F.col("entity_id").alias("eid"),
+        F.col("tok_end").alias("te"),
     )
-    other = matches.select(
-        F.col("doc_id"), F.col("entity_id").alias("yid"),
-        F.col("tok_start").alias("ys"), F.col("tok_end").alias("ye"),
-        F.floor(F.col("tok_end") / window).alias("bucket"),
+    g = matches.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(ent)).alias("ents")
     )
-    # positional "after" = (tok_start, tok_end, entity_id) lexicographic;
-    # ties on the full key never pair (same id is excluded anyway)
-    after = (F.col("ys") > F.col("xs")) | (
-        (F.col("ys") == F.col("xs"))
-        & ((F.col("ye") > F.col("xe"))
-           | ((F.col("ye") == F.col("xe")) & (F.col("yid") > F.col("xid"))))
+    ex = g.select("doc_id", "ents", F.posexplode("ents").alias("i", "x"))
+    tail = F.slice(F.col("ents"), F.col("i") + F.lit(2), F.size("ents"))
+    limit = F.col("x")["te"] + F.lit(window)
+    # reference break: count the prefix of successors with te <= limit,
+    # freezing at the first violation
+    brk = F.aggregate(
+        tail,
+        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+        lambda acc, y: F.struct(
+            F.when(acc["stop"] | (y["te"] > limit), acc["n"])
+            .otherwise(acc["n"] + 1)
+            .alias("n"),
+            (acc["stop"] | (y["te"] > limit)).alias("stop"),
+        ),
+        lambda acc: acc["n"],
     )
-    swap = F.col("xid") > F.col("yid")
-    return (
-        center.join(other, ["doc_id", "bucket"])
-        .filter(
-            after
-            & (F.col("ye") <= F.col("xe") + window)
-            & (F.col("xid") != F.col("yid"))
-        )
-        .select(
-            "doc_id",
-            F.when(swap, F.col("yid")).otherwise(F.col("xid")).alias("id1"),
-            F.when(swap, F.col("xid")).otherwise(F.col("yid")).alias("id2"),
-            F.when(swap, F.col("ys")).otherwise(F.col("xs")).alias("t1"),
-            F.when(swap, F.col("xs")).otherwise(F.col("ys")).alias("t2"),
-        )
-        .distinct()
-    )
+    pairs = ex.select(
+        "doc_id",
+        F.col("x")["eid"].alias("xid"),
+        F.col("x")["ts"].alias("xs"),
+        F.explode(F.slice(tail, 1, brk)).alias("y"),
+    ).filter(F.col("xid") != F.col("y")["eid"])
+    swap = F.col("xid") > F.col("y")["eid"]
+    return pairs.select(
+        "doc_id",
+        F.when(swap, F.col("y")["eid"]).otherwise(F.col("xid")).alias("id1"),
+        F.when(swap, F.col("xid")).otherwise(F.col("y")["eid"]).alias("id2"),
+        F.when(swap, F.col("y")["ts"]).otherwise(F.col("xs")).alias("t1"),
+        F.when(swap, F.col("xs")).otherwise(F.col("y")["ts"]).alias("t2"),
+    ).distinct()
 
 
 def match_documents(

@@ -62,21 +62,19 @@ def test_token_window_pairs(spark):
 
 def test_token_window_forward_scan_end_bound(spark):
     """Reference parity (CreateTsvDatasetTokenWindow.java:165-176): the
-    window bound applies to the other mention's token END, scanning
-    forward only — a long mention starting inside but ending outside the
-    window is excluded; a nested earlier-start mention still pairs."""
+    scan walks successors in annotation order — Span.compareTo =
+    (start asc, LONGER first) — and BREAKS at the first entity whose
+    token end exceeds center.end + window, excluding every later entity
+    even when it would itself fit."""
     rows = [
         (1, "ctr", 10, 11, 0, 1),
-        # starts inside (12 <= 11+3=14) but ends at 18 > 14 -> excluded
+        # starts inside (12 <= 11+3=14) but ends at 18 > 14 -> violates
         (1, "longtail", 12, 18, 2, 9),
-        # starts AND ends inside -> included
+        # fits every bound, but sorts AFTER longtail (same start, shorter)
         (1, "fit", 12, 14, 2, 5),
-        # nested same-start longer mention: after ctr in (start,end) order,
-        # end 13 <= 14 -> included
+        # nested same-start longer mention: sorts BEFORE ctr (longer first)
         (1, "nest", 10, 13, 0, 4),
-        # before ctr with end far away from its own window: pairs only if
-        # ctr.end(11) <= 5+3=8 -> no pair (backward starts are covered
-        # when they are the center themselves)
+        # early mention: its scan breaks immediately (nest.e 13 > 5+3)
         (1, "early", 4, 5, 0, 1),
     ]
     m = spark.createDataFrame(
@@ -85,14 +83,17 @@ def test_token_window_forward_scan_end_bound(spark):
     )
     got = {(r.id1, r.id2, r.t1, r.t2)
            for r in gaz.mention_pairs_token_window(m, window=3).collect()}
-    # centers in (start,end) order: early(4,5) bound 8 -> none;
-    # ctr(10,11) bound 14 -> nest(e13) + fit(e14), NOT longtail(e18);
-    # nest(10,13) bound 16 -> fit(e14); fit(12,14) bound 17 -> longtail
-    # e18 excluded (starts inside, ends outside: the divergence case)
+    # annotation order: early(4,5), nest(10,13), ctr(10,11),
+    # longtail(12,18), fit(12,14).
+    # early: bound 8, nest.e 13 > 8 -> break, none.
+    # nest: bound 16 -> ctr(e11) kept; longtail(e18) > 16 -> BREAK,
+    #   fit never reached even though fit.e 14 <= 16.
+    # ctr: bound 14, longtail(e18) > 14 -> break immediately — fit is
+    #   IN window (14 <= 14) but excluded by the break (divergence case).
+    # longtail: bound 21 -> fit kept.
     assert got == {
-        ("ctr", "fit", 10, 12),
         ("ctr", "nest", 10, 10),
-        ("fit", "nest", 12, 10),
+        ("fit", "longtail", 12, 12),
     }
 
 
