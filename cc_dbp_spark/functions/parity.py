@@ -153,7 +153,22 @@ def document_downsample_priority(text_or_id: Iterable[str]) -> np.ndarray:
 
 
 def ordered_id_pair(id1: Iterable[str], id2: Iterable[str]) -> list[str]:
-    """Lexicographically ordered tab-joined pair (GroundTruth.java:153-161)."""
+    """Lexicographically ordered tab-joined pair (GroundTruth.java:153-161).
+
+    KNOWN DIVERGENCE (documented, not fixed): Java ``String.compareTo``
+    orders by UTF-16 code units, which places supplementary-plane
+    characters (surrogate pairs, lead 0xD800-0xDBFF) BEFORE
+    U+E000..U+FFFF; Python/Spark/DuckDB compare by code point and order
+    them after. An entity id containing a character in U+E000..U+FFFF
+    compared against one with a supplementary-plane character (emoji,
+    rare CJK extensions) therefore pairs in the opposite order, flipping
+    the D3/D4 draw strings and the ARGONE/ARGTWO assignment for that
+    pair. KB entity ids are URI-shaped ASCII in every reference dataset,
+    so the divergence is unreachable in practice; matching it would
+    require a per-character UTF-16 re-encode on the hot path of every
+    pair draw (engine AND oracle), which is not worth the cost. The
+    engine and the DuckDB oracles share the code-point order, so the
+    gate stays consistent."""
     return [a + "\t" + b if a <= b else b + "\t" + a for a, b in zip(id1, id2)]
 
 

@@ -565,7 +565,21 @@ def encode_tensor_rows(
     """Row-form M14 (see :func:`encode_tensor_instances`): input is
     (id1, id2, positive, chunk, sent_ndx, ctx) rows — pair with
     :func:`tensor_chunk_rows` so no stage ever holds a whole mention
-    set in one row."""
+    set in one row.
+
+    KNOWN DIVERGENCE (documented, not fixed): the arg positions are
+    anchored via the FIRST occurrence of the standalone ``ARGONE`` /
+    ``ARGTWO`` token, while the reference carries the rewritten spans
+    numerically through the pipeline (RelexMention.java:66-69 updates
+    span1/span2 during convertToPlaceholders; RelexTensors resolves them
+    via toSegmentSpan). A document whose LITERAL text contains a
+    standalone ``ARGONE`` token before the placeholder would mis-anchor
+    pos1/pos2/pool here (substring occurrences like 'ARGONEXT' are safe —
+    the boundary-guarded padding below never splits them). Real corpora
+    do not contain the placeholder as a standalone token; carrying spans
+    numerically would force the rewritten span columns through every
+    chunk/sort stage for a case that cannot occur. The DuckDB oracle
+    mirrors the first-occurrence lookup, so the gate stays consistent."""
     half = max_pos // 2
     # force the placeholders to stand alone as whitespace tokens before
     # splitting: the rule tokenizer matches entities ADJACENT to
