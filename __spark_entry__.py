@@ -198,15 +198,13 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _is_parseint_col(col):
-    """Lang.isInteger = exact Integer.parseInt acceptance as a pure-string
-    Column (the same int32 check kb.filter_gazetteer_labels uses)."""
-    canon = F.regexp_replace(F.regexp_replace(col, r"^[+-]", ""), r"^0+", "")
-    bound = F.when(col.startswith("-"), F.lit("2147483648")).otherwise(
-        F.lit("2147483647")
-    )
-    return col.rlike(r"^[+-]?\d+$") & (
-        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
-    )
+    """Lang.isInteger = exact Integer.parseInt acceptance — the shared
+    parity-critical definition (kb.filter_gazetteer_labels, the vocab
+    twins, and the tensor OOV fallback all use the same one; semantics
+    and documented divergences live on the helper)."""
+    from cc_dbp_spark.functions.parity import is_parseint_col
+
+    return is_parseint_col(col)
 
 
 def _vocab_tokens(d: DataFrame) -> DataFrame:
@@ -884,10 +882,13 @@ def q_gazetteer_overlap_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mention_pairs_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 token-window pair variant
-    (CreateTsvDatasetTokenWindow.java:165-176): reference forward-scan
-    semantics — center pairs with later mentions whose token END falls
-    within center end + window — via the bucketized band join (never a
-    per-doc cross join)."""
+    (CreateTsvDatasetTokenWindow.java:165-176): reference BREAK-scan
+    semantics — walk successors in annotation order (start asc, longer
+    first) and stop at the FIRST whose token end exceeds center end +
+    window, excluding every later mention even if it would itself fit
+    (a pure filter formulation over-produces; see
+    gazetteer.mention_pairs_token_window for the per-doc prefix scan
+    that implements the break natively)."""
     d = _docs(spark, sf_dir)
     m = gazetteer.match_documents(d, GAZ_ENTRIES)
     return gazetteer.mention_pairs_token_window(m, window=4)
@@ -2238,16 +2239,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tok
             WHERE count >= 1 AND len(tokens) > 0 AND tokens[1] <> ''
               AND (len(tokens) > 1
-                   -- exact Integer.parseInt acceptance, same pure-string
-                   -- check as kb.filter_gazetteer_labels: sign/zero strip,
-                   -- <10 significant digits ok, ==10 lexical-compared
-                   -- against the int32 bound
-                   OR (regexp_matches(tokens[1], '^[+-]?\\d+$')
-                       AND (length(regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')) < 10
-                            OR (length(regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')) = 10
-                                AND regexp_replace(regexp_replace(tokens[1], '^[+-]', ''), '^0+', '')
-                                    <= CASE WHEN tokens[1] LIKE '-%'
-                                            THEN '2147483648' ELSE '2147483647' END)))
+                   -- exact Integer.parseInt acceptance, the same shared
+                   -- pure-string check as kb.filter_gazetteer_labels
+                   OR {_parseint_sql('tokens[1]')}
                    OR count <= 900)
         """,
         # P12 overlap cleanup: matches with 0-based token spans; drop a
@@ -2559,17 +2553,15 @@ def oracle_sql() -> dict[str, str]:
               WHERE list_position(toks, 'ARGONE') IS NOT NULL
                 AND list_position(toks, 'ARGTWO') IS NOT NULL
             ),
-            w0 AS (SELECT unnest({ntoks}) AS word FROM documents),
-            vw AS (SELECT word FROM w0 WHERE word <> ''
-                   UNION ALL
-                   SELECT repeat('#', length(word)) FROM w0
-                   WHERE {_parseint_sql('word')}),
+            {_vocab_w_sql},
             vocab AS (
+              -- same counting CTE as word_counts/vocab_histogram
+              -- (_vocab_w_sql): one definition of the twin semantics
               SELECT word,
                      CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) - 1
                           AS INT) AS vndx
               FROM (
-                SELECT word, count(*) AS cnt FROM vw
+                SELECT word, count(*) AS cnt FROM w
                 GROUP BY 1 HAVING count(*) >= 5)
             ),
             tokrows AS (

@@ -258,6 +258,43 @@ def pseudo_random_from_string_col(c):
     return ((hi * F.lit(1 << 27) + lo).cast("double") * F.lit(1.0 / _TWO53))
 
 
+def is_parseint_col(col):
+    """Exact ``Integer.parseInt`` acceptance (``Lang.isInteger``) as a
+    pure-string native Column — the ONE shared definition used by the
+    gazetteer label filter (BuildGazetteer.java:92-107 path), the vocab
+    digit-sequence twins, and the tensor encoder's OOV-integer fallback
+    (RelexVocab.java:56-69, RelexTensors.java:170-175). Keep every
+    caller on this helper: the predicate is parity-critical and drifting
+    copies would silently desynchronize vocab counts from the fallback.
+
+    Semantics: optional sign + digits, numeric value within int32.
+    Strip sign and leading zeros; < 10 significant digits always fits,
+    exactly 10 compares lexically against the bound (2147483647, or
+    2147483648 for negatives), > 10 never fits. All-zero inputs
+    canonicalize to '' (length 0 < 10: accepted). The DuckDB oracle
+    applies the identical regex chain (``_parseint_sql``).
+
+    KNOWN DIVERGENCE (documented, not fixed): Java's parseInt accepts
+    non-ASCII decimal digits via ``Character.digit`` (e.g. Arabic-Indic
+    U+0660-0669, full-width U+FF10-FF19), while ``\\d`` here is ASCII in
+    both Spark and the DuckDB oracle's RE2 — a non-ASCII-digit token the
+    reference would twin as '#'-runs stays a plain token in the rebuild.
+    Matching it would need per-digit numeric-value canonicalization (the
+    magnitude test is lexical) on every token of the hot vocab/tensor
+    paths for a case the DBpedia/Common-Crawl English corpora the
+    reference targets do not produce; both engine and oracle share the
+    ASCII reading, so the gate is consistent."""
+    from pyspark.sql import functions as F
+
+    canon = F.regexp_replace(F.regexp_replace(col, r"^[+-]", ""), r"^0+", "")
+    bound = F.when(col.startswith("-"), F.lit("2147483648")).otherwise(
+        F.lit("2147483647")
+    )
+    return col.rlike(r"^[+-]?\d+$") & (
+        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
+    )
+
+
 # --- Spark-facing pandas UDF factories (registered lazily to avoid
 #     importing pyspark at module import time in pure-python tests) ---
 

@@ -22,6 +22,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cc_dbp_spark.functions import parity
+
 
 def clean_literal(col, max_len: int = 40):
     """M10-shaped literal normalization: drop a trailing parenthetical,
@@ -136,21 +138,9 @@ def filter_gazetteer_labels(
             "left",
         )
     first_tok = F.element_at(toks, 1)
-    # exact Integer.parseInt acceptance (Lang.isInteger): optional sign +
-    # digits, numeric value within int32. Pure-string check so Spark and
-    # the DuckDB oracle agree bit-for-bit: strip sign and leading zeros,
-    # then <10 significant digits always fits, exactly 10 compares
-    # lexically against the int32 bound (2147483647 / -2147483648), >10
-    # never fits. All-zero inputs canonicalize to '' (length 0 < 10: ok).
-    canon = F.regexp_replace(
-        F.regexp_replace(first_tok, r"^[+-]", ""), r"^0+", ""
-    )
-    bound = F.when(first_tok.startswith("-"), F.lit("2147483648")).otherwise(
-        F.lit("2147483647")
-    )
-    is_int = first_tok.rlike(r"^[+-]?\d+$") & (
-        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
-    )
+    # exact Integer.parseInt acceptance: the shared parity-critical
+    # definition (semantics + documented divergences live there)
+    is_int = parity.is_parseint_col(first_tok)
     # F.split never yields an empty array, so "tokenizes non-empty"
     # reduces to the first token being non-blank
     keep = (

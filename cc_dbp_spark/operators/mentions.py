@@ -608,34 +608,48 @@ def encode_tensor_rows(
         .withColumn("a2", F.array_position("toks", "ARGTWO").cast("int") - 1)
         .filter((F.col("a1") >= 0) & (F.col("a2") >= 0))
     )
-    # only SCALARS (a1, a2, n) ride through the token explode — deriving
-    # the position rows before exploding would attach an O(n) array to
-    # every one of n token rows (O(n^2) shuffle bytes per sentence)
     sent = sent.withColumn("n_toks", F.size("toks"))
+    # only SCALARS (a1, a2, n_toks, positive + the group key) ride the
+    # token explode — deriving the O(n) position rows before exploding
+    # would attach an O(n) array to every one of n token rows (O(n^2)
+    # shuffle bytes per sentence). Deliberately SINGLE-PASS: narrowing
+    # the explode to just the key and joining the scalar payload back
+    # afterwards recomputes the whole mention pipeline on the second
+    # branch (measured ~40% slower end-to-end), and materializing the
+    # sentence table (localCheckpoint) leaks executor storage per call
+    # with no teardown seam — a few scalar columns through the token
+    # shuffle is the cheapest of the three shapes.
     tok = sent.select(
         "id1", "id2", "positive", "chunk", "sent_ndx", "a1", "a2", "n_toks",
         F.posexplode("toks").alias("wi", "w"),
     ).withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
-    tok = tok.join(vocab.select(F.col("word").alias("w"), "widx"), "w", "left")
+    # post-min-count vocab is bounded (the same bound the reference's
+    # broadcast RelexVocab map relies on) -> broadcast hash joins
+    tok = tok.join(
+        F.broadcast(vocab.select(F.col("word").alias("w"), "widx")), "w", "left"
+    )
     # OOV integer fallback (RelexTensors.java:170-175): a token missing
     # from the vocab that Integer.parseInt accepts resolves to its
     # '#'-digit-sequence twin of the same string length
     # (RelexVocab.toDigitSequence pads to d.length(), sign included)
-    # before the final -1. The parseInt test is the exact pure-string
-    # int32 check (Lang.isInteger); the vocab carries the '#' rows
-    # because RelexVocab.add double-counts every integer token.
-    canon = F.regexp_replace(F.regexp_replace(F.col("w"), r"^[+-]", ""), r"^0+", "")
-    bound = F.when(F.col("w").startswith("-"), F.lit("2147483648")).otherwise(
-        F.lit("2147483647")
-    )
-    is_int = F.col("w").rlike(r"^[+-]?\d+$") & (
-        (F.length(canon) < 10) | ((F.length(canon) == 10) & (canon <= bound))
-    )
+    # before the final -1. The parseInt test is the shared
+    # parity.is_parseint_col definition (divergence notes there); the
+    # vocab carries the '#' rows because RelexVocab.add double-counts
+    # every integer token. Only '#'-run vocab rows can ever match dkey,
+    # so the fallback side broadcasts just those (one per twinned
+    # length), not the whole vocab a second time.
     tok = tok.withColumn(
         "dkey",
-        F.when(F.col("widx").isNull() & is_int, F.expr("repeat('#', length(w))")),
+        F.when(
+            F.col("widx").isNull() & parity.is_parseint_col(F.col("w")),
+            F.expr("repeat('#', length(w))"),
+        ),
     ).join(
-        vocab.select(F.col("word").alias("dkey"), F.col("widx").alias("dwidx")),
+        F.broadcast(
+            vocab.filter(F.col("word").rlike(r"^#+$")).select(
+                F.col("word").alias("dkey"), F.col("widx").alias("dwidx")
+            )
+        ),
         "dkey",
         "left",
     ).withColumn("widx", F.coalesce("widx", "dwidx")).drop("dkey", "dwidx")
