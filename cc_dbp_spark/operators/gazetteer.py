@@ -176,10 +176,17 @@ def mention_pairs_token_window(matches: DataFrame, window: int) -> DataFrame:
     dropped and output ids are normalized id1 < id2 with their positions.
 
     Scale shape: one shuffle groups mentions per doc_id; the sorted
-    per-doc array is bounded by mentions-per-document (the reference
-    holds exactly the same list per document), and the break scan is a
-    native ``aggregate`` lambda over each center's successor slice —
-    no per-doc cross join, no Python stage.
+    per-doc array is held ONCE per document (as the reference holds its
+    per-doc annotation list once) — the break scan and the kept-pair
+    construction both run as native lambdas INSIDE the still-grouped
+    row, and only the actual pairs explode. An earlier formulation
+    posexploded the centers first, which duplicated the O(m) array onto
+    every one of m center rows — O(m^2) struct copies on a
+    gazetteer-dense document even when every center's window was empty.
+    Memory is O(m + kept pairs) per row; the pair count itself is the
+    reference's own output bound (worst case all mentions share one
+    token end, which the upstream doc-split/sentence bounds cap long
+    before frontier scale). No per-doc cross join, no Python stage.
     """
     from pyspark.sql import functions as F
 
@@ -192,35 +199,42 @@ def mention_pairs_token_window(matches: DataFrame, window: int) -> DataFrame:
     g = matches.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(ent)).alias("ents")
     )
-    ex = g.select("doc_id", "ents", F.posexplode("ents").alias("i", "x"))
-    tail = F.slice(F.col("ents"), F.col("i") + F.lit(2), F.size("ents"))
-    limit = F.col("x")["te"] + F.lit(window)
-    # reference break: count the prefix of successors with te <= limit,
-    # freezing at the first violation
-    brk = F.aggregate(
-        tail,
-        F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
-        lambda acc, y: F.struct(
-            F.when(acc["stop"] | (y["te"] > limit), acc["n"])
-            .otherwise(acc["n"] + 1)
-            .alias("n"),
-            (acc["stop"] | (y["te"] > limit)).alias("stop"),
-        ),
-        lambda acc: acc["n"],
-    )
-    pairs = ex.select(
+
+    def per_center(x, i):
+        tail = F.slice(F.col("ents"), i + F.lit(2), F.size("ents"))
+        limit = x["te"] + F.lit(window)
+        # reference break: count the prefix of successors with
+        # te <= limit, freezing at the first violation
+        brk = F.aggregate(
+            tail,
+            F.struct(F.lit(0).alias("n"), F.lit(False).alias("stop")),
+            lambda acc, y: F.struct(
+                F.when(acc["stop"] | (y["te"] > limit), acc["n"])
+                .otherwise(acc["n"] + 1)
+                .alias("n"),
+                (acc["stop"] | (y["te"] > limit)).alias("stop"),
+            ),
+            lambda acc: acc["n"],
+        )
+        return F.transform(
+            F.slice(tail, F.lit(1), brk),
+            lambda y: F.struct(
+                x["eid"].alias("xid"), x["ts"].alias("xs"),
+                y["eid"].alias("yid"), y["ts"].alias("ys"),
+            ),
+        )
+
+    pairs = g.select(
         "doc_id",
-        F.col("x")["eid"].alias("xid"),
-        F.col("x")["ts"].alias("xs"),
-        F.explode(F.slice(tail, 1, brk)).alias("y"),
-    ).filter(F.col("xid") != F.col("y")["eid"])
-    swap = F.col("xid") > F.col("y")["eid"]
+        F.explode(F.flatten(F.transform("ents", per_center))).alias("p"),
+    ).filter(F.col("p")["xid"] != F.col("p")["yid"])
+    swap = F.col("p")["xid"] > F.col("p")["yid"]
     return pairs.select(
         "doc_id",
-        F.when(swap, F.col("y")["eid"]).otherwise(F.col("xid")).alias("id1"),
-        F.when(swap, F.col("xid")).otherwise(F.col("y")["eid"]).alias("id2"),
-        F.when(swap, F.col("y")["ts"]).otherwise(F.col("xs")).alias("t1"),
-        F.when(swap, F.col("xs")).otherwise(F.col("y")["ts"]).alias("t2"),
+        F.when(swap, F.col("p")["yid"]).otherwise(F.col("p")["xid"]).alias("id1"),
+        F.when(swap, F.col("p")["xid"]).otherwise(F.col("p")["yid"]).alias("id2"),
+        F.when(swap, F.col("p")["ys"]).otherwise(F.col("p")["xs"]).alias("t1"),
+        F.when(swap, F.col("p")["xs"]).otherwise(F.col("p")["ys"]).alias("t2"),
     ).distinct()
 
 
