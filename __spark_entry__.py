@@ -2694,6 +2694,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, round(history + cash, 8) AS history FROM r2
         """,
         "w2v_lines": f"""
+            -- mirrors spans.w2v_sentences on the no-overlap fixture:
+            -- Java trim ([\\x00-\\x20] at either end) then lowercase +
+            -- whitespace->'_'; the engine's stateful prevEnd overlap
+            -- drop is a no-op here (fixture has no overlapping texty
+            -- spans) and is pinned by test_w2v_overlap_drop instead
             WITH r AS (
               SELECT doc_id,
                      array_to_string(
@@ -2701,7 +2706,10 @@ def oracle_sql() -> dict[str, str]:
                          list_filter(spans, s ->
                            s.kind IN ('text', 'title', 'paragraph', 'section_header')
                            AND s.text <> ''),
-                         s -> regexp_replace(lower(s.text), '\\s+', '_', 'g')),
+                         s -> regexp_replace(
+                                lower(regexp_replace(s.text,
+                                  '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g')),
+                                '\\s+', '_', 'g')),
                        ' ') AS line
               FROM read_parquet('{fx}'))
             SELECT doc_id, line FROM r WHERE line <> ''

@@ -97,17 +97,62 @@ def split_documents(docs: DataFrame, chunk: int, spans_col: str = "spans") -> Da
 
 
 def w2v_sentences(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
-    """F5: one training line per doc — texty spans in offset order,
-    lowercased, intra-span whitespace joined with ``_``."""
+    """F5: one training line per doc — the CreateW2VFile.java:53-80
+    rendering over the interleaved-spans data model.
+
+    Reference semantics kept exactly: terms sorted start-ascending with
+    LONGER span first on equal starts (Span.compareTo), then the
+    stateful overlap drop — a term starting before the end of the last
+    KEPT term is skipped (``prevEnd`` scan, CreateW2VFile.java:66-73; a
+    running-max/window formulation over-drops after a discarded long
+    span) — and each kept term Java-``trim()``-ed (chars <= U+0020),
+    lowercased, intra-span whitespace joined with ``_``. Runs as one
+    native ``aggregate`` lambda per doc: no explode, no shuffle beyond
+    the scan, no Python.
+
+    Documented variants vs the reference: one line per document (the
+    spans model carries no sentence annotations), empty-text spans are
+    dropped rather than rendered as bare separators, and no trailing
+    space. The fixture corpus has no overlapping texty spans, so the
+    DuckDB oracle needs no stateful scan — the overlap-drop semantics
+    are pinned by the pure-Python reference-loop differential test
+    (test_w2v_overlap_drop)."""
     texty = F.filter(
         F.col(spans_col),
         lambda s: F.array_contains(F.array(*[F.lit(k) for k in TEXTY_KINDS]), s["kind"])
         & (s["text"] != ""),
     )
-    words = F.transform(
-        texty, lambda s: F.regexp_replace(F.lower(s["text"]), r"\s+", "_")
+    # annotation order: start asc, longer first (negated end asc)
+    ordered = F.array_sort(
+        F.transform(
+            texty,
+            lambda s: F.struct(
+                s["offset"].alias("o"),
+                (-(s["offset"] + F.length(s["text"]))).alias("ne"),
+                s["text"].alias("txt"),
+            ),
+        )
     )
-    return docs.select("doc_id", F.concat_ws(" ", words).alias("line")).filter(
+    word = lambda t: F.regexp_replace(  # noqa: E731
+        F.lower(F.regexp_replace(t, r"^[\x00-\x20]+|[\x00-\x20]+$", "")),
+        r"\s+",
+        "_",
+    )
+    scan = F.aggregate(
+        ordered,
+        F.struct(
+            F.lit(0).alias("pe"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, s: F.when(s["o"] < acc["pe"], acc).otherwise(
+            F.struct(
+                (s["o"] + F.length(s["txt"])).alias("pe"),
+                F.concat(acc["parts"], F.array(word(s["txt"]))).alias("parts"),
+            )
+        ),
+        lambda acc: acc["parts"],
+    )
+    return docs.select("doc_id", F.concat_ws(" ", scan).alias("line")).filter(
         F.col("line") != ""
     )
 

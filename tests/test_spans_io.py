@@ -64,6 +64,49 @@ def test_w2v_sentences(spark, docs):
     assert "d3" not in lines
 
 
+def test_w2v_overlap_drop(spark):
+    """Differential vs the reference loop (CreateW2VFile.java:62-75):
+    sort (start asc, longer first), keep a term only if it starts at or
+    after the end of the last KEPT term. The third case below is the
+    one a running-max formulation gets wrong: a DROPPED long span must
+    not shadow later terms."""
+
+    def ref_loop(spans):
+        terms = sorted(
+            ((o, o + len(t), t) for k, t, m, o in spans
+             if k in S.TEXTY_KINDS and t != ""),
+            key=lambda x: (x[0], -x[1]),
+        )
+        prev_end, out = 0, []
+        for s, e, t in terms:
+            if s < prev_end:
+                continue
+            prev_end = e
+            out.append("_".join(t.strip().lower().split()))
+        return " ".join(out)
+
+    rows = [
+        # entity span covering its tokens: longer-first wins, tokens drop
+        ("a", [("text", "New York", None, 0), ("text", "New", None, 0),
+               ("text", "York", None, 4)]),
+        # partial overlap: second starts inside first -> dropped
+        ("b", [("text", "abcdef", None, 0), ("text", "cdefgh", None, 2),
+               ("text", "tail", None, 10)]),
+        # dropped long span must NOT shadow: [0,3) kept, [1,10) dropped,
+        # [4,6) kept (running-max over ALL prior ends would drop it)
+        ("c", [("text", "abc", None, 0), ("text", "bcdefghij", None, 1),
+               ("text", "xy", None, 4)]),
+        # java trim: leading newline/tab stripped before '_'-joining
+        ("d", [("text", "\n\t Hello  World \n", None, 0)]),
+    ]
+    df = spark.createDataFrame(rows, SPANS_SCHEMA)
+    got = {r.doc_id: r.line for r in S.w2v_sentences(df).collect()}
+    want = {d: ref_loop(sp) for d, sp in rows}
+    want = {d: line for d, line in want.items() if line != ""}
+    assert got == want
+    assert got["c"] == "abc xy"  # the anti-running-max case, pinned
+
+
 def test_outlink_edges(spark, docs):
     edges = {(r.src, r.dst) for r in S.outlink_edges(docs).collect()}
     assert edges == {("d1", "http://x/a")}
