@@ -75,24 +75,34 @@ def split_documents(docs: DataFrame, chunk: int, spans_col: str = "spans") -> Da
     n = F.size(F.col(spans_col))
     nparts = F.ceil(n / F.lit(chunk)).cast("int")
     parts = F.sequence(F.lit(0), F.greatest(nparts - 1, F.lit(0)))
+
+    # build the re-offset pieces INSIDE the row, then explode only the
+    # pieces: the slices partition the span array, so per-doc memory
+    # stays O(spans) — exploding part indices first and slicing after
+    # would copy the whole array onto every part row (O(parts x spans))
+    def piece(p):
+        sl = F.slice(F.col(spans_col), p * chunk + 1, chunk)
+        base = F.element_at(sl, 1)["offset"]
+        return F.struct(
+            p.alias("part"),
+            F.transform(
+                sl,
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    (s["offset"] - base).cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+
     exploded = docs.select(
-        "doc_id", F.col(spans_col).alias("__s"), F.explode(parts).alias("part")
-    )
-    piece = F.slice(F.col("__s"), F.col("part") * chunk + 1, chunk)
-    base = F.element_at(piece, 1)["offset"]
-    reoff = F.transform(
-        piece,
-        lambda s: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            (s["offset"] - base).cast("int").alias("offset"),
-        ),
+        "doc_id", F.explode(F.transform(parts, piece)).alias("pp")
     )
     return exploded.select(
-        F.concat_ws("#", "doc_id", "part").alias("doc_id"),
-        "part",
-        reoff.alias("spans"),
+        F.concat_ws("#", "doc_id", F.col("pp")["part"]).alias("doc_id"),
+        F.col("pp")["part"].alias("part"),
+        F.col("pp")["spans"].alias("spans"),
     ).filter(F.size("spans") > 0)
 
 
