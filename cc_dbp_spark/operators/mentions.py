@@ -448,15 +448,25 @@ def tensor_chunks(groups: DataFrame, max_mention_set: int) -> DataFrame:
     n = F.size("contexts")
     nchunks = F.ceil(n / F.lit(max_mention_set)).cast("int")
     chunk_ids = F.sequence(F.lit(0), F.greatest(nchunks - 1, F.lit(0)))
-    exploded = groups.withColumn("n_chunks", nchunks).select(
-        "id1", "id2", "positive", "contexts", "n_chunks",
-        F.explode(chunk_ids).alias("chunk"),
+    idx = F.sequence(F.lit(0), n - 1)
+
+    # build each chunk's member list inside the row, then explode only
+    # the chunks: the round-robin picks partition the contexts array,
+    # so per-group memory stays O(n) — exploding chunk ids first would
+    # copy the whole array onto every chunk row (O(chunks x n))
+    def chunk_struct(c):
+        members = F.filter(idx, lambda i: i % nchunks == c)
+        picked = F.transform(members, lambda i: F.element_at("contexts", i + 1))
+        return F.struct(c.alias("chunk"), picked.alias("contexts"))
+
+    exploded = groups.select(
+        "id1", "id2", "positive",
+        F.explode(F.transform(chunk_ids, chunk_struct)).alias("cc"),
     )
-    idx = F.sequence(F.lit(0), F.size("contexts") - 1)
-    members = F.filter(idx, lambda i: i % F.col("n_chunks") == F.col("chunk"))
-    picked = F.transform(members, lambda i: F.element_at("contexts", i + 1))
     return exploded.select(
-        "id1", "id2", "positive", "chunk", picked.alias("contexts")
+        "id1", "id2", "positive",
+        F.col("cc")["chunk"].alias("chunk"),
+        F.col("cc")["contexts"].alias("contexts"),
     ).filter(F.size("contexts") > 0)
 
 
