@@ -114,7 +114,11 @@ _RAW_URL_SQL = """
 # (same rule order; DuckDB regexp_replace needs the explicit 'g' flag where
 # Spark's is global by default).
 _CANON_SQL = """
-  {lead}u0 AS (SELECT {key_cols}, regexp_replace(trim({raw}), '#.*$', '') AS u
+  {lead}u0 AS (SELECT {key_cols},
+                regexp_replace(
+                  trim({raw}, ' ' || chr(9) || chr(10) || chr(13) ||
+                              chr(11) || chr(12)),
+                  '#.*$', '') AS u
               FROM {src}),
   u1 AS (SELECT {key_cols},
                 CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://')

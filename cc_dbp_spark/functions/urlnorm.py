@@ -10,7 +10,11 @@ Two implementations of ONE spec, kept in lock-step by differential tests
   oracle scheduler the crawl ordering is judged against.
 
 Canonical form:
-  1. trim surrounding whitespace
+  1. trim surrounding ASCII whitespace (space/tab/LF/CR/VT/FF — the
+     explicit char SET all three implementations share: Spark ``btrim``,
+     Python ``str.strip(chars)``, DuckDB ``trim(x, chars)``; Unicode
+     whitespace is data. A bare ``F.trim``/``str.strip()`` pair silently
+     disagreed on tab/newline-padded hrefs.)
   2. drop the fragment (``#...``)
   3. prepend ``http://`` when no ``scheme://`` is present
   4. lowercase scheme and host
@@ -31,6 +35,10 @@ from pyspark.sql import functions as F
 
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
+# the ONE trim set (step 1): ASCII whitespace, shared verbatim by the
+# Column chain, the python twin, and the DuckDB oracle template
+TRIM_CHARS = " \t\n\r\x0b\x0c"
+
 
 _BIG = 1 << 30  # "rest of string" length for Column.substr
 
@@ -43,7 +51,7 @@ def canonicalize_col(url: Column) -> Column:
     across 10^10 URLs; only three regex ops remain (scheme sniff, port
     digits, ``//+`` collapse). Semantics identical to
     :func:`canonicalize_py` (differential-tested)."""
-    u = F.trim(url)
+    u = F.btrim(url, F.lit(TRIM_CHARS))
     u = F.substring_index(u, "#", 1)  # fragment strip (everything after first '#')
     u = F.when(u.rlike(_SCHEME_RE), u).otherwise(F.concat(F.lit("http://"), u))
     # scheme = chars before the FIRST '://' (the rlike guard guarantees
@@ -112,7 +120,10 @@ def with_canonical(df, src, out: str = "url", host: str | None = None,
             f"with_canonical owns the __cn_* namespace; input carries {clash}"
         )
     src_col = c(src) if isinstance(src, str) else src
-    d = df.withColumn("__cn_u0", F.substring_index(F.trim(src_col), "#", 1))
+    d = df.withColumn(
+        "__cn_u0",
+        F.substring_index(F.btrim(src_col, F.lit(TRIM_CHARS)), "#", 1),
+    )
     d = d.withColumn(
         "__cn_u",
         F.when(c("__cn_u0").rlike(_SCHEME_RE), c("__cn_u0")).otherwise(
@@ -228,7 +239,7 @@ def canonicalize_py(url: str) -> str:
     """Pure-Python twin of :func:`canonicalize_col` (same spec)."""
     import re
 
-    u = url.strip()
+    u = url.strip(TRIM_CHARS)
     u = re.sub(r"#.*$", "", u, flags=re.DOTALL)
     if not re.match(_SCHEME_RE, u):
         u = "http://" + u

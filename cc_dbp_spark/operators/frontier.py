@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from cc_dbp_spark.functions import parity
 from cc_dbp_spark.functions.priority import priority_score
+from cc_dbp_spark.functions import urlnorm
 from cc_dbp_spark.functions.urlnorm import host_col, pathq_col, with_canonical
 from cc_dbp_spark.operators import filters as flt
 
@@ -366,7 +367,7 @@ def _raw_host_col(url: Column) -> Column:
     for hot-host detection, where miscounting a malformed url merely
     shifts a schedule-invariant split factor — so the detection scan
     never pays the canonicalizer."""
-    u = F.substring_index(F.trim(url), "#", 1)
+    u = F.substring_index(F.btrim(url, F.lit(urlnorm.TRIM_CHARS)), "#", 1)
     after = F.substring_index(u, "://", -1)  # full string when no scheme
     hp = F.substring_index(F.substring_index(after, "/", 1), "?", 1)
     return F.lower(F.substring_index(hp, ":", 1))

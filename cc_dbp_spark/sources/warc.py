@@ -89,7 +89,9 @@ def parse_warc_bytes(data: bytes) -> tuple[list[dict], bool]:
             pos += 2
         if pos >= n:
             break
-        if not data[pos:].startswith(b"WARC/"):
+        # offset form: data[pos:] would copy the remaining buffer once
+        # per record (quadratic over a multi-GB WARC payload)
+        if not data.startswith(b"WARC/", pos):
             return out, True
         hdr_end = data.find(_CRLF + _CRLF, pos)
         if hdr_end < 0:

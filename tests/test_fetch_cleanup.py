@@ -29,6 +29,21 @@ def test_fetch_retries_and_histogram(spark):
     assert hist["KeyError"] == (1, 3)
 
 
+def test_error_histogram_never_counts_failures_as_ok(spark):
+    """A failed row with a NULL or prefix-less error must not land in
+    '__ok__' (regexp_extract(NULL) previously coalesced there)."""
+    rows = [
+        ("http://a", "fetched", 1, None),
+        ("http://b", "failed", 3, None),
+        ("http://c", "failed", 3, "no classifiable prefix"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status string, attempts int, error string"
+    )
+    hist = {r.error_type: r.n for r in FE.error_histogram(df).collect()}
+    assert hist == {"__ok__": 1, "__unknown__": 2}
+
+
 def test_clean_overlapping_matches(spark):
     rows = [
         (1, "long", 0, 3, 0, 10),   # 3-token match

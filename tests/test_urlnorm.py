@@ -18,6 +18,9 @@ CASES = [
     "http://example.com/a?b=1&c=2#frag",
     "example.com/no-scheme",
     "  http://pad.example.com/x  ",
+    "\thttp://tab.example.com/x\n",      # scraped hrefs pad with tab/CRLF
+    " \r\n\thttp://mix.example.com \t ",
+    "\x0b\x0chttp://vtff.example.com/y\x0c",
     "http://example.com/a/b/",
     "http://example.com//",
     "http://example.com#only-frag",
@@ -39,7 +42,7 @@ def _random_urls(n=200, seed=7):
         path = rng.choice(["", "/", "/a", "/a/b/", "/a//b", "/a/b/c"])
         q = rng.choice(["", "?x=1", "?x=1&y=2"])
         frag = rng.choice(["", "#f", "#a/b"])
-        pad = rng.choice(["", " ", "  "])
+        pad = rng.choice(["", " ", "  ", "\t", "\r\n", " \t "])
         out.append(f"{pad}{scheme}{host}{port}{path}{q}{frag}{pad}")
     return out
 
