@@ -140,16 +140,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             return
         ts = pdf["ts"].astype("int64").to_numpy()  # ns
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        prev = ts[:-1]
-        if s_start is not None:
-            # the carried session's reach: an in-batch gap measured from
-            # a LATE event (ts < stored last) must use the stored last
-            # as the previous activity, or a session would wrongly split
-            # (e.g. last=10min, batch=[5min, 38min], gap=30: 38-5 breaks
-            # but 38-10 does not). If the carried session is already out
-            # of reach of ts[0], s_last < every ts and the max is a no-op.
-            prev = np.maximum(prev, s_last)
-        brk = np.concatenate([[True], (ts[1:] - prev) > gap_ns])
+        # batch-only segmentation: consecutive in-batch gap > gap breaks
+        brk = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap_ns])
         starts_idx = np.nonzero(brk)[0]
         ends_idx = np.concatenate([starts_idx[1:] - 1, [len(ts) - 1]])
         cs = np.concatenate([[0.0], np.cumsum(vals)])
@@ -157,27 +149,47 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         seg_end = ts[ends_idx]
         seg_n = ends_idx - starts_idx + 1
         seg_sv = cs[ends_idx + 1] - cs[starts_idx]
-        rows = []  # (start_ns, end_ns, n, sv) of CLOSED sessions
+        # sessions in time order: [start, end, n, sv]
+        sessions = [
+            [int(seg_start[j]), int(seg_end[j]), int(seg_n[j]), float(seg_sv[j])]
+            for j in range(len(seg_start))
+        ]
         if s_start is not None:
-            if ts[0] - s_last <= gap_ns:
-                # carried session absorbs segment 0. Cross-microbatch
-                # late events merge INTO the open session: its start
-                # extends backward and its end never regresses below
-                # the stored last (the old unconditional assignments
-                # corrupted both when a later microbatch delivered
-                # events out of order). Events later than s_last+gap
-                # still open new sessions; a late event can NOT re-open
-                # an already-EMITTED session (append-mode streaming
-                # cannot retract — the watermark-style limitation).
-                seg_start[0] = min(s_start, int(seg_start[0]))
-                seg_end[0] = max(s_last, int(seg_end[0]))
-                seg_n[0] += s_n
-                seg_sv[0] += s_sv
+            # an event CHAINS to the carried session iff it lies in
+            # [s_start - gap, s_last + gap]: inside the interval the
+            # session's own events are never more than gap apart, and
+            # within gap of either edge it bridges to that edge. The
+            # old condition (ts[0] - s_last <= gap, signed) absorbed
+            # arbitrarily-early late events — a session [100', 110']
+            # swallowed a late 5' event the batch twin keeps separate.
+            # The interval can also BRIDGE in-batch segments (one
+            # touching each side), so every reach segment merges; reach
+            # segments are contiguous because the window's events form
+            # one sorted index range. A late event can still NOT
+            # re-open an already-EMITTED session (append-mode streaming
+            # cannot retract — the watermark-style limitation).
+            ev_in = (ts >= s_start - gap_ns) & (ts <= s_last + gap_ns)
+            seg_reach = np.add.reduceat(ev_in, starts_idx) > 0
+            if seg_reach.any():
+                j0 = int(np.argmax(seg_reach))
+                j1 = int(len(seg_reach) - 1 - np.argmax(seg_reach[::-1]))
+                merged = [
+                    min(s_start, sessions[j0][0]),
+                    max(s_last, sessions[j1][1]),
+                    s_n + sum(s[2] for s in sessions[j0 : j1 + 1]),
+                    s_sv + sum(s[3] for s in sessions[j0 : j1 + 1]),
+                ]
+                sessions = sessions[:j0] + [merged] + sessions[j1 + 1 :]
             else:
-                rows.append((s_start, s_last, s_n, s_sv))
-        for i in range(len(seg_start) - 1):  # all but the still-open last
-            rows.append((seg_start[i], seg_end[i], int(seg_n[i]), float(seg_sv[i])))
-        state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]), float(seg_sv[-1])))
+                # out of reach: the carried session is its own session,
+                # slotted by time (earlier batch segments stay earlier)
+                at = sum(1 for s in sessions if s[0] < s_start)
+                sessions.insert(at, [s_start, s_last, s_n, s_sv])
+        # the LAST session by time stays open in state; the rest are
+        # proven closed by the gap to their successor
+        rows = [tuple(s) for s in sessions[:-1]]
+        last = sessions[-1]
+        state.update((int(last[0]), int(last[1]), int(last[2]), float(last[3])))
         out = pd.DataFrame(rows, columns=["s", "e", "n", "sv"])
         yield pd.DataFrame(
             {

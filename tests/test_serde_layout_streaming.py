@@ -298,3 +298,88 @@ def test_sessionize_stream_multibatch_out_of_order(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     ]
     assert got == [(t(0), t(38), 4, 15.0)]
+
+
+def _stage_event_batches(spark, tmp_path, name, batches):
+    """Stage per-microbatch parquet files with increasing mtimes so the
+    file stream source delivers them in list order (one per trigger)."""
+    import os
+
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"{name}_stage_{i}"
+        df = spark.createDataFrame(rows, ev.EVENT_SCHEMA)
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        target = src / f"b{i}.parquet"
+        part.rename(target)
+        base = 1_700_000_000 + i * 60
+        os.utime(target, (base, base))
+    return src
+
+
+def test_sessionize_stream_far_late_event_stays_separate(spark, tmp_path):
+    """A late event EARLIER than session_start - gap must NOT be
+    absorbed into the carried session (the old signed ts[0] - s_last
+    <= gap test swallowed it); it forms its own session, exactly as
+    the batch twin segments it. An in-reach late event (within
+    [start-gap, last+gap]) still merges, extending start backward."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    # carried session [100', 110']; batch 1 delivers a far-early late
+    # event at 5' (out of reach: 5 < 100-30) plus an in-reach late
+    # event at 95' (>= 70). gap=30: batch twin over all six events
+    # (5, 95, 100, 110, 120, 240) -> sessions [5,5], [95,120], [240..)
+    batches = [
+        [(1, t(100), 7, "c", 1.0, ""), (2, t(110), 7, "c", 2.0, "")],
+        [(3, t(5), 7, "c", 4.0, ""), (4, t(95), 7, "c", 8.0, "")],
+        [(5, t(120), 7, "c", 16.0, "")],
+        [(6, t(240), 7, "c", 32.0, "")],
+    ]
+    src = _stage_event_batches(spark, tmp_path, "farlate", batches)
+    stream = ev.sessionize_stream(
+        ev.read_event_stream(spark, str(src), max_files_per_trigger=1),
+        gap_minutes=30,
+    )
+    out = tmp_path / "farlate_out"
+    ev.run_available_now(stream, str(out), str(tmp_path / "farlate_ckpt"))
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == [(t(5), t(5), 1, 4.0), (t(95), t(120), 4, 27.0)]
+
+
+def test_sessionize_stream_reach_interval_bridges_segments(spark, tmp_path):
+    """Two in-batch segments farther than gap from EACH OTHER but each
+    within reach of one edge of the carried session ([start-gap,
+    last+gap]) all merge into ONE session — the batch twin chains
+    15' -> 40' -> 50' -> 75' (every consecutive gap <= 30')."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    # carried [40', 50']; batch 1 = [15', 75'] (in-batch gap 60 > 30
+    # splits them), 15 >= 40-30 and 75 <= 50+30: one session [15, 75]
+    batches = [
+        [(1, t(40), 7, "c", 1.0, ""), (2, t(50), 7, "c", 2.0, "")],
+        [(3, t(15), 7, "c", 4.0, ""), (4, t(75), 7, "c", 8.0, "")],
+        [(5, t(200), 7, "c", 16.0, "")],
+    ]
+    src = _stage_event_batches(spark, tmp_path, "bridge", batches)
+    stream = ev.sessionize_stream(
+        ev.read_event_stream(spark, str(src), max_files_per_trigger=1),
+        gap_minutes=30,
+    )
+    out = tmp_path / "bridge_out"
+    ev.run_available_now(stream, str(out), str(tmp_path / "bridge_ckpt"))
+    got = [
+        (r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    assert got == [(t(15), t(75), 4, 15.0)]
