@@ -1276,6 +1276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tensor_lines": q_tensor_lines,
         "warc_parse": q_warc_parse,
         "ann_ivf": q_ann_ivf,
+        # w2v rendering + doc split changed late in-round (overlap-drop
+        # scan / in-row piece building) -> promoted per the policy
+        "w2v_lines": q_w2v_lines,
+        "doc_split": q_doc_split,
         # -- stable r4 driver-green -----------------------------------
         "html_extract_density": q_html_extract_density,
         "gazetteer_overlap_clean": q_gazetteer_overlap_clean,
@@ -1299,8 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "stopword_ratio": q_stopword_ratio,
         "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_survivors": q_dedup_survivors,
         "ann_brute": q_ann_brute,
         "gazetteer_mentions": q_gazetteer_mentions,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1317,8 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_parse": q_ntriples_parse,
         "tsv_scan": q_tsv_scan,
         "langid_trigram": q_langid_trigram,
-        "w2v_lines": q_w2v_lines,
-        "doc_split": q_doc_split,
+        "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
         "span_invariant": q_span_invariant,
         "label_merge": q_label_merge,
         "uri_labels": q_uri_labels,
