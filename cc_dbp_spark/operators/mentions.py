@@ -605,34 +605,66 @@ def encode_tensor_rows(
     # apply the identical regex): pad a side only when that side is a
     # non-alphanumeric/start/end boundary, so LITERAL document text
     # containing the placeholder as a substring ('ARGONEXT') stays one
-    # token and can never mis-anchor array_position's first-occurrence
-    # lookup — exactly how the reference's re-tokenizer treats it
+    # token and can never mis-anchor the first-occurrence lookup —
+    # exactly how the reference's re-tokenizer treats it
     # (one token != ARGONE -> the mention is skipped, not mis-anchored).
-    padded = F.regexp_replace(
-        F.col("ctx"), r"(^|[^A-Za-z0-9])(ARGONE|ARGTWO)", "$1 $2"
+    # Applied LAZILY per whitespace token, not to the whole sentence:
+    # whitespace already separates tokens, so padding a placeholder
+    # inside one whitespace-delimited token and re-splitting that token
+    # yields exactly the token sequence the whole-string regex produced
+    # (any extra inserted spaces collapse under the same \s+ split) —
+    # but the regex pair now scans only the ~2 placeholder-bearing
+    # tokens per sentence instead of every character of every sentence
+    # (a cheap `contains` gates it), which matters because the
+    # optimizer's inferred explode-input filter re-evaluates this very
+    # expression below the exchange (InferFiltersFromGenerate inlines
+    # the alias) — the chain must be cheap, not just single-eval.
+    def _pad_token(t):
+        two_pass = F.regexp_replace(
+            F.regexp_replace(t, r"(^|[^A-Za-z0-9])(ARGONE|ARGTWO)", "$1 $2"),
+            r"(ARGONE|ARGTWO)($|[^A-Za-z0-9])",
+            "$1 $2",
+        )
+        return F.when(
+            t.contains("ARGONE") | t.contains("ARGTWO"),
+            F.split(F.trim(two_pass), r"\s+"),
+        ).otherwise(F.array(t))
+
+    sent = sent_rows.withColumn(
+        "toks",
+        F.flatten(F.transform(F.split(F.trim("ctx"), r"\s+"), _pad_token)),
     )
-    padded = F.regexp_replace(padded, r"(ARGONE|ARGTWO)($|[^A-Za-z0-9])", "$1 $2")
-    sent = sent_rows.withColumn("toks", F.split(F.trim(padded), r"\s+"))
-    sent = (
-        sent.withColumn("a1", F.array_position("toks", "ARGONE").cast("int") - 1)
-        .withColumn("a2", F.array_position("toks", "ARGTWO").cast("int") - 1)
-        .filter((F.col("a1") >= 0) & (F.col("a2") >= 0))
-    )
-    sent = sent.withColumn("n_toks", F.size("toks"))
-    # only SCALARS (a1, a2, n_toks, positive + the group key) ride the
-    # token explode — deriving the O(n) position rows before exploding
-    # would attach an O(n) array to every one of n token rows (O(n^2)
-    # shuffle bytes per sentence). Deliberately SINGLE-PASS: narrowing
-    # the explode to just the key and joining the scalar payload back
-    # afterwards recomputes the whole mention pipeline on the second
-    # branch (measured ~40% slower end-to-end), and materializing the
-    # sentence table (localCheckpoint) leaks executor storage per call
-    # with no teardown seam — a few scalar columns through the token
-    # shuffle is the cheapest of the three shapes.
+    # The pad+split chain must be evaluated EXACTLY ONCE per sentence:
+    # the earlier shape (array_position anchors + size() + a pre-explode
+    # filter, with the token explode downstream) re-evaluated the regex
+    # chain in every consuming operator — filter predicate, scalar
+    # projection, and the generator each recomputed it (no
+    # cross-operator subexpression elimination; GenerateExec alone
+    # measured ~3x the chain's single-eval cost at sf0.1). Shuffling the
+    # SENTENCE rows by the per-sentence group key here (a) materializes
+    # `toks` in the shuffle write, pinning the regex chain to one
+    # map-side evaluation, and (b) pre-clusters the data so the explode,
+    # the broadcast vocab joins, and the per-sentence aggregation below
+    # all run in the reduce stage with NO further exchange — the old
+    # plan shuffled the exploded TOKEN rows instead (same payload plus
+    # the group key repeated per token: strictly more bytes).
+    sent = sent.repartition("id1", "id2", "chunk", "sent_ndx")
+    # Per-sentence scalars are derived IN the aggregation: a1/a2 = min
+    # token index whose RAW token equals the placeholder (identical to
+    # array_position's first-occurrence, 0-based), n_toks = max index
+    # + 1, and the missing-placeholder filter moves after the groupBy (a
+    # group with no ARGONE/ARGTWO aggregates to NULL and is dropped —
+    # the same sentences the old pre-explode filter removed). Only
+    # `positive` rides the explode.
     tok = sent.select(
-        "id1", "id2", "positive", "chunk", "sent_ndx", "a1", "a2", "n_toks",
+        "id1", "id2", "positive", "chunk", "sent_ndx",
         F.posexplode("toks").alias("wi", "w"),
-    ).withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
+    )
+    tok = (
+        tok.withColumn("is_a1", F.col("w") == "ARGONE")
+        .withColumn("is_a2", F.col("w") == "ARGTWO")
+        .withColumn("w", F.lower("w"))  # RelexVocab.normalized analogue
+    )
     # post-min-count vocab is bounded (the same bound the reference's
     # broadcast RelexVocab map relies on) -> broadcast hash joins
     tok = tok.join(
@@ -669,10 +701,10 @@ def encode_tensor_rows(
             lambda s: F.coalesce(s["widx"], F.lit(-1)).cast("int"),
         ).alias("words"),
         F.first("positive").alias("positive"),
-        F.first("a1").alias("a1"),
-        F.first("a2").alias("a2"),
-        F.first("n_toks").alias("n_toks"),
-    )
+        F.min(F.when(F.col("is_a1"), F.col("wi"))).alias("a1"),
+        F.min(F.when(F.col("is_a2"), F.col("wi"))).alias("a2"),
+        (F.max("wi") + 1).alias("n_toks"),
+    ).filter(F.col("a1").isNotNull() & F.col("a2").isNotNull())
     idx = F.sequence(F.lit(0), F.col("n_toks") - 1)
 
     def pos_row(arg):
