@@ -221,6 +221,39 @@ def main() -> None:
     check("ivf_auto_split_default", "sub#" in default_plan,
           "default ivf_topk plan joins on (cell, sub) — auto re-split active")
 
+    # 10. tensor-encode stage shape: the placeholder pad+split chain is
+    # pinned BELOW one REPARTITION_BY_COL exchange (the shuffle write
+    # materializes `toks`, so the token Generate consumes an attribute
+    # and never re-evaluates the chain — the r5 regression), and the
+    # explode + vocab joins + per-sentence aggregation run in that
+    # shuffle's reduce stage with no further hash exchange between them.
+    from cc_dbp_spark.operators import mentions as _men
+
+    sent_rows = spark.createDataFrame(
+        [("a", "b", True, 0, 0, "alpha ARGONE beta, ARGTWO."),
+         ("a", "b", True, 0, 1, "gamma ARGONE 42 ARGTWO")],
+        "id1 string, id2 string, positive boolean, "
+        "chunk int, sent_ndx int, ctx string",
+    )
+    voc = spark.createDataFrame([("alpha", 0), ("##", 1)], "word string, widx int")
+    enc_plan = (
+        _men.encode_tensor_rows(sent_rows, voc, max_pos=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    gen_i = enc_plan.find("Generate posexplode")
+    rep_i = enc_plan.find("REPARTITION_BY_COL")
+    check("tensor_encode_materialized_toks",
+          0 <= gen_i < rep_i and "regexp_replace" not in enc_plan[gen_i:rep_i],
+          "token Generate reads the shuffled toks attribute, not the regex chain")
+    sent_agg = re.search(
+        r"ObjectHashAggregate\(keys=\[[^\]]*sent_ndx[^\]]*\], functions=\[partial_",
+        enc_plan,
+    )
+    check("tensor_encode_reduce_side_agg",
+          sent_agg is not None and gen_i > sent_agg.start()
+          and "Exchange hashpartitioning" not in enc_plan[sent_agg.start():gen_i],
+          "per-sentence aggregation runs in the repartition's reduce stage")
+
     spark.stop()
     print(f"\n{len(failures)} violations" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
