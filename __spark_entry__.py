@@ -2704,7 +2704,11 @@ def oracle_sql() -> dict[str, str]:
             -- Java trim ([\\x00-\\x20] at either end) then lowercase +
             -- whitespace->'_'; the engine's stateful prevEnd overlap
             -- drop is a no-op here (fixture has no overlapping texty
-            -- spans) and is pinned by test_w2v_overlap_drop instead
+            -- spans) and is pinned by test_w2v_overlap_drop instead.
+            -- PRECONDITION (asserted by
+            -- test_w2v_fixture_oracle_precondition): fixture texty
+            -- spans are already in (offset asc, longer first) order,
+            -- so rendering in ARRAY order matches the engine's sort
             WITH r AS (
               SELECT doc_id,
                      array_to_string(

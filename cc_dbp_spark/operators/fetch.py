@@ -85,11 +85,13 @@ def error_histogram(fetched: DataFrame) -> DataFrame:
     """A12 exception histogram (SaveCommonCrawlBase.java:150-196):
     error-type -> count, plus the success row keyed '__ok__'."""
     # a failed row whose error is NULL or unclassifiable must never read
-    # as a success: '__ok__' is reserved for status == fetched
-    err_key = F.when(
-        F.col("error").isNull() | (F.regexp_extract("error", r"^(\w+):", 1) == ""),
+    # as a success: '__ok__' is reserved for status == fetched.
+    # regexp_extract is NULL on NULL input and '' on no-match; nullif
+    # folds both into the '__unknown__' bucket with ONE evaluation.
+    err_key = F.coalesce(
+        F.nullif(F.regexp_extract("error", r"^(\w+):", 1), F.lit("")),
         F.lit("__unknown__"),
-    ).otherwise(F.regexp_extract("error", r"^(\w+):", 1))
+    )
     return (
         fetched.withColumn(
             "error_type",

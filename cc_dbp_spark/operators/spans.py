@@ -132,13 +132,18 @@ def w2v_sentences(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         lambda s: F.array_contains(F.array(*[F.lit(k) for k in TEXTY_KINDS]), s["kind"])
         & (s["text"] != ""),
     )
-    # annotation order: start asc, longer first (negated end asc)
+    # annotation order: start asc, longer first (negated end asc). The
+    # reference sort is STABLE (Collections.sort), so equal (start, end)
+    # spans keep array order — the original index breaks ties BEFORE the
+    # struct comparison ever reaches txt (which would otherwise pick the
+    # lexically-smaller text, diverging from Span.compareTo stability).
     ordered = F.array_sort(
         F.transform(
             texty,
-            lambda s: F.struct(
+            lambda s, i: F.struct(
                 s["offset"].alias("o"),
                 (-(s["offset"] + F.length(s["text"]))).alias("ne"),
+                i.alias("ix"),
                 s["text"].alias("txt"),
             ),
         )

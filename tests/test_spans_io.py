@@ -98,6 +98,10 @@ def test_w2v_overlap_drop(spark):
                ("text", "xy", None, 4)]),
         # java trim: leading newline/tab stripped before '_'-joining
         ("d", [("text", "\n\t Hello  World \n", None, 0)]),
+        # STABLE sort: equal start AND equal length — Collections.sort
+        # keeps array order ('xy' first), so 'ab' is the overlap-dropped
+        # one; a txt-comparing sort would keep 'ab' instead
+        ("e", [("text", "xy", None, 0), ("text", "ab", None, 0)]),
     ]
     df = spark.createDataFrame(rows, SPANS_SCHEMA)
     got = {r.doc_id: r.line for r in S.w2v_sentences(df).collect()}
@@ -105,6 +109,46 @@ def test_w2v_overlap_drop(spark):
     want = {d: line for d, line in want.items() if line != ""}
     assert got == want
     assert got["c"] == "abc xy"  # the anti-running-max case, pinned
+    assert got["e"] == "xy"  # stability, not lexical-txt tie-break
+
+
+def test_w2v_fixture_oracle_precondition():
+    """The w2v_lines DuckDB oracle renders spans in ARRAY order while
+    the engine sorts by (offset asc, length desc, index); their
+    equivalence rests on the gate fixture's texty spans already being
+    in that order with no overlaps. Assert the precondition directly so
+    a regenerated fixture that breaks it fails HERE with a clear
+    message, not in the driver gate as a word-order hash mismatch."""
+    import duckdb
+
+    from cc_dbp_spark import fixtures
+
+    fd = fixtures.ensure_default()
+    bad = duckdb.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(spans, s ->
+                   s.kind IN ('text','title','paragraph','section_header')
+                   AND s.text <> '') AS sp
+          FROM read_parquet('{fd}/documents_spans.parquet')),
+        u AS (
+          SELECT doc_id, unnest(sp) AS s,
+                 generate_subscripts(sp, 1) AS i
+          FROM t)
+        SELECT count(*)
+        FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE b.s.offset < a.s.offset + length(a.s.text)
+           OR (b.s.offset = a.s.offset
+               AND length(b.s.text) > length(a.s.text))
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        "fixture texty spans violate the w2v oracle precondition "
+        "(array order must equal (offset asc, longer first) with no "
+        f"overlaps) in {bad} docs — fix fixtures.py or make the "
+        "w2v_lines oracle sort explicitly"
+    )
 
 
 def test_outlink_edges(spark, docs):
