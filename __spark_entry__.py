@@ -212,19 +212,10 @@ def _is_parseint_col(col):
 
 
 def _vocab_tokens(d: DataFrame) -> DataFrame:
-    """RelexVocab.add counting source (RelexVocab.java:56-69): every
-    normalized token, PLUS for each Integer.parseInt-accepted token its
-    '#'-digit-sequence twin of the SAME string length (toDigitSequence
-    pads to d.length(), so a sign/leading zeros count toward the
-    length) — '####' earns vocab mass from every 4-char integer, which
-    is what lets the tensor encoder's OOV-integer fallback resolve."""
-    w = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
-    ).filter(F.col("word") != "")
-    digits = w.filter(_is_parseint_col(F.col("word"))).select(
-        F.expr("repeat('#', length(word))").alias("word")
-    )
-    return w.unionByName(digits)
+    """RelexVocab.add counting source — the shared single-pass
+    implementation (`textstats.vocab_tokens`: one tokenizing scan, the
+    '#'-digit twin rides a conditional array explode)."""
+    return ts.vocab_tokens(d)
 
 
 def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

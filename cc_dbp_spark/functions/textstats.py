@@ -255,6 +255,38 @@ def fingerprint(text: Column) -> Column:
 VOCAB_LADDER = [2, 3, 5, 8, 12, 18, 27, 41, 62, 93]
 
 
+def vocab_tokens(docs, text_col: str = "text"):
+    """RelexVocab.add counting source (``RelexVocab.java:56-69``): one
+    row per normalized token, PLUS for each Integer.parseInt-accepted
+    token its '#'-digit-sequence twin of the SAME string length
+    (toDigitSequence pads to d.length(), so a sign or leading zeros
+    count toward the length) — '####' earns vocab mass from every
+    4-char integer, which is what lets the tensor encoder's OOV-integer
+    fallback resolve.
+
+    Single corpus pass: the twin rides a conditional array explode off
+    the one tokenizing scan (a union of two branches would read, trim,
+    lower, split and explode the full corpus twice — this is the
+    hottest full-corpus path). The ONE shared counting source for the
+    driver vocab queries and the DatasetBuilder vocab stage.
+    """
+    from pyspark.sql import functions as F
+
+    from cc_dbp_spark.functions.parity import is_parseint_col
+
+    w = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w0")
+    ).filter(F.col("w0") != "")
+    return w.select(
+        F.explode(
+            F.when(
+                is_parseint_col(F.col("w0")),
+                F.array(F.col("w0"), F.expr("repeat('#', length(w0))")),
+            ).otherwise(F.array(F.col("w0")))
+        ).alias("word")
+    )
+
+
 def choose_vocab_min_count(word_counts, vocab_limit: int) -> tuple[int, object]:
     """A6 vocab auto-tune (``GatherRelexVocab.java:141-191``): bucket the
     count distribution at the reference's threshold ladder, then pick the

@@ -305,7 +305,9 @@ def downsample_negatives_to_ratio(
 ) -> tuple[DataFrame, float]:
     """P2/A10 two-phase ratio-targeted negative downsample
     (RelexTsvDataset.java:120-157): phase 1 keeps negatives whose D3 draw
-    < ``sample_fraction``; ONE aggregation barrier computes the
+    passes ``sample_fraction`` on the INCLUSIVE ``<=`` boundary
+    (CreateTsvDataset.java:198-204 skips on ``>``); ONE aggregation
+    barrier computes the
     group-level neg:pos ratio (per (id1,id2) group, positive if any
     mention positive — the reference's mentionCount aggregate); if the
     ratio exceeds ``tolerance * target_ratio`` the retain probability is
@@ -331,12 +333,17 @@ def downsample_negatives_to_ratio(
         # with retain = fraction * (target/Infinity) = 0.0, dropping
         # EVERY negative (RelexTsvDataset.java:134-146) — with zero
         # positives the dataset comes out EMPTY, not untouched
-        return downsample_negatives(labeled, 0.0, inclusive=False), 0.0
+        return downsample_negatives(p1, 0.0, inclusive=False), 0.0
     current = (total - npos) / npos
     if current > tolerance * target_ratio:
         retain = sample_fraction * (target_ratio / current)
         # phase 2 keeps on STRICT draw < retain (RelexTsvDataset.java:146)
-        return downsample_negatives(labeled, retain, inclusive=False), retain
+        # and filters the PHASE-1 OUTPUT (the reference rescales the set
+        # it already sampled) — re-filtering `labeled` would be
+        # equivalent only while retain < sample_fraction, and a
+        # tolerance below 1 can legally push retain above it, which
+        # must NOT resurrect negatives phase 1 already dropped
+        return downsample_negatives(p1, retain, inclusive=False), retain
     return p1, sample_fraction
 
 

@@ -97,7 +97,10 @@ class DatasetBuilder:
             sents = M.sentences(corpus)
             pairs = M.mention_pairs(sents, self.gaz_entries)
             labeled = M.relation_join(pairs, self.triples)
-            kept = M.downsample_negatives(labeled, self.retain)
+            # retain_negative_prob mirrors RelexTsvDataset's
+            # retainNegativeProb, which keeps on STRICT draw < prob
+            # (RelexTsvDataset.java:146) — not phase 1's <= boundary
+            kept = M.downsample_negatives(labeled, self.retain, inclusive=False)
             self._write("pairs", kept)
         pairs = self._read("pairs")
 
@@ -121,10 +124,14 @@ class DatasetBuilder:
         if self._done("vocab"):
             skipped.append("vocab")
         else:
-            words = corpus.select(
-                F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
-            ).filter(F.col("word") != "")
-            counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+            # RelexVocab.add counting incl. the '#'-digit-sequence twins
+            # (the tensor encoder's OOV-integer fallback can only resolve
+            # against a vocab that carries the twin rows)
+            counts = (
+                ts.vocab_tokens(corpus)
+                .groupBy("word")
+                .agg(F.count("*").alias("cnt"))
+            )
             mc, kept_vocab = ts.choose_vocab_min_count(counts, self.vocab_limit)
             self._write("vocab", kept_vocab.withColumn("min_count", F.lit(mc)))
         vocab = self._read("vocab")

@@ -192,7 +192,7 @@ def _py_ratio_twin(rows, frac, target, tol=1.05):
     def draw(a, b):
         return parity.negative_downsample_priority([a], [b])[0]
 
-    p1 = [r for r in rows if r[2] or draw(r[0], r[1]) < frac]
+    p1 = [r for r in rows if r[2] or draw(r[0], r[1]) <= frac]
     groups = {}
     for a, b, pos in p1:
         groups[(a, b)] = groups.get((a, b), False) or pos
@@ -202,7 +202,8 @@ def _py_ratio_twin(rows, frac, target, tol=1.05):
     current = (total - npos) / npos
     if current > tol * target:
         retain = frac * (target / current)
-        return [r for r in rows if r[2] or draw(r[0], r[1]) < retain], retain
+        # the reference rescales the PHASE-1 OUTPUT (strict <)
+        return [r for r in p1 if r[2] or draw(r[0], r[1]) < retain], retain
     return p1, frac
 
 
@@ -394,6 +395,29 @@ def test_downsample_phase_boundaries(spark):
     )
     assert M.downsample_negatives(lab, draw).count() == 1           # <=
     assert M.downsample_negatives(lab, draw, inclusive=False).count() == 0
+
+
+def test_downsample_ratio_rescale_is_subset_of_phase1(spark):
+    """A tolerance below 1 can push the rescaled retain ABOVE
+    sample_fraction; the rescale must still filter the phase-1 output,
+    never resurrect negatives phase 1 already dropped."""
+    from cc_dbp_spark.functions import parity
+
+    ids = [f"ent:{i}" for i in range(20)]
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            rows.append((a, b, (i * 31 + len(b)) % 17 == 0))
+    lab = spark.createDataFrame(rows, "id1 string, id2 string, is_positive boolean")
+    frac = 0.3
+    kept_df, retain = M.downsample_negatives_to_ratio(
+        lab, sample_fraction=frac, target_ratio=50.0, tolerance=0.01
+    )
+    # the scenario only bites when the retune fired AND overshot frac
+    assert retain > frac
+    for r in kept_df.filter(~F.col("is_positive")).collect():
+        d = parity.negative_downsample_priority([r.id1], [r.id2])[0]
+        assert d <= frac, "rescale resurrected a phase-1-dropped negative"
 
 
 def test_downsample_ratio_zero_positives_drops_everything(spark):

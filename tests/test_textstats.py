@@ -182,3 +182,37 @@ def test_trigram_langid_udf_matches_kernel(spark):
     for r in rows:
         assert r.lp.lang == kl[r.i]
         assert abs(r.lp.posterior - kp[r.i]) < 1e-12
+
+
+def test_vocab_tokens_digit_twins_single_pass(spark):
+    """RelexVocab.add counting (RelexVocab.java:56-69): every token row
+    plus a '#'-run twin of the SAME string length for each
+    Integer.parseInt-accepted token (sign/leading zeros count toward
+    the length); non-integers and overflow get no twin. Also pins the
+    single-pass shape's equivalence to the two-scan union it replaced."""
+    docs = spark.createDataFrame(
+        [
+            (1, "2019 abc 2019"),
+            (2, "+07 x -0 99999999999"),  # 11 digits > int32: no twin
+            (3, "  Mixed CASE  "),
+        ],
+        "doc_id int, text string",
+    )
+    got = sorted(r.word for r in ts.vocab_tokens(docs).collect())
+    want = sorted(
+        ["2019", "2019", "abc", "+07", "x", "-0", "99999999999",
+         "mixed", "case"]
+        + ["####", "####", "###", "##"]  # twins: 2019 x2, +07, -0
+    )
+    assert got == want
+    # two-scan union twin (the formulation this replaced)
+    w = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    from cc_dbp_spark.functions.parity import is_parseint_col
+
+    twins = w.filter(is_parseint_col(F.col("word"))).select(
+        F.expr("repeat('#', length(word))").alias("word")
+    )
+    old = sorted(r.word for r in w.unionByName(twins).collect())
+    assert got == old
