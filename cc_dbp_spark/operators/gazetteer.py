@@ -243,12 +243,21 @@ def match_documents(
     entries,
     id_col: str = "doc_id",
     text_col: str = "text",
+    post_clean: bool = False,
 ) -> DataFrame:
     """Annotate every document with gazetteer matches.
 
     The index builds once per Python worker from a broadcast (executor
     singleton, the RunPipelineSpark.java:46-51 lazy-init pattern);
     matching streams Arrow batches.
+
+    ``post_clean=True`` applies P12 PostGazClean
+    (``kbp/.../GazetteerEDL.java:41-70``) INSIDE the kernel, while the
+    document's matches are still a local Python list — identical output
+    to ``clean_overlapping_matches(match_documents(...))`` (pinned by
+    test_match_documents_post_clean_in_kernel) without that version's
+    two extra shuffle joins; matches per doc are few, so the O(m^2)
+    containment scan is noise next to the matcher itself.
     """
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(list(entries))
@@ -267,7 +276,22 @@ def match_documents(
                 if not text:
                     continue
                 toks, starts, ends = tokenize_with_offsets(text)
-                for eid, ts, te in idx.match_tokens(toks):
+                ms = idx.match_tokens(toks)
+                if post_clean and ms:
+                    # GazetteerEDL.java:41-70: drop a <=1-token match
+                    # lying inside a strictly-longer match of the doc
+                    ms = [
+                        (eid, ts, te)
+                        for eid, ts, te in ms
+                        if not (
+                            te - ts <= 1
+                            and any(
+                                lts <= ts and lte >= te and lte - lts > te - ts
+                                for _, lts, lte in ms
+                            )
+                        )
+                    ]
+                for eid, ts, te in ms:
                     rows.append((did, eid, ts, te, starts[ts], ends[te - 1]))
             yield pd.DataFrame(
                 rows,

@@ -158,15 +158,17 @@ def mention_pairs(sents: DataFrame, entries) -> DataFrame:
         "sent_id",
         "sentence",
     )
-    raw = gaz.match_documents(
-        keyed.select("skey", "sentence"), entries, id_col="skey", text_col="sentence"
-    )
     # PostGazClean runs in the EDL pipeline BETWEEN the matcher and any
     # dataset build (GazetteerEDL.java:80-84): single-token mentions
     # nested inside a multi-token mention are removed BEFORE pair
     # generation — without this, 'hash join' fabricates (hash, join)
-    # pairs the reference never emits.
-    ments = gaz.clean_overlapping_matches(raw).select(
+    # pairs the reference never emits. post_clean=True applies the rule
+    # inside the matcher kernel (same output as the DataFrame
+    # clean_overlapping_matches, minus its two shuffle joins).
+    ments = gaz.match_documents(
+        keyed.select("skey", "sentence"), entries, id_col="skey",
+        text_col="sentence", post_clean=True,
+    ).select(
         F.col("doc_id").alias("skey"),
         F.col("entity_id"),
         F.col("char_start"),

@@ -188,3 +188,42 @@ def test_sentence_splitter_guards_abbreviations(spark):
     assert sum(1 for (i, _) in got if i == 2) == 2   # initials guarded
     assert sum(1 for (i, _) in got if i == 3) == 2   # e.g./cf./Fig. guarded
     assert sum(1 for (i, _) in got if i == 4) == 1   # lowercase continuation
+
+
+def test_match_documents_post_clean_in_kernel(spark):
+    """match_documents(post_clean=True) must emit exactly
+    clean_overlapping_matches(match_documents(...)) — the in-kernel
+    PostGazClean is a plan optimization, not a semantic variant."""
+    from cc_dbp_spark.operators import gazetteer as gaz
+
+    entries = [
+        ("e:hash", ("hash",), False),
+        ("e:join", ("join",), False),
+        ("e:hashjoin", ("hash", "join"), False),
+        ("e:sortmerge", ("sort", "merge", "join"), False),
+        ("e:sort", ("sort",), False),
+        ("e:x", ("x",), False),
+    ]
+    texts = [
+        "the hash join beats the sort merge join here",
+        "hash alone and join alone survive",
+        "x hash join x sort merge join x",
+        "",
+        "no entities at all in this one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    kernel = sorted(
+        tuple(r) for r in gaz.match_documents(df, entries, post_clean=True).collect()
+    )
+    twostep = sorted(
+        tuple(r)
+        for r in gaz.clean_overlapping_matches(
+            gaz.match_documents(df, entries)
+        ).collect()
+    )
+    assert kernel == twostep
+    # the clean actually bit: nested single-token mentions are gone
+    doc0 = {t[1] for t in kernel if t[0] == 0}
+    assert "e:hashjoin" in doc0 and "e:hash" not in doc0
