@@ -318,8 +318,12 @@ def downsample_negatives_to_ratio(
     subset of phase 1, one extra narrow filter, no second shuffle.
     Returns (filtered mentions, effective retain prob). The reference
     spends two count actions on the barrier; here both counts come from
-    one agg job."""
-    p1 = downsample_negatives(labeled, sample_fraction)
+    one agg job, and the D3 draw is materialized as ONE column so the
+    stacked phase-1 + phase-2 filters evaluate the Arrow kernel once
+    per row, not once per phase."""
+    d3 = F.col("__d3")
+    with_draw = labeled.withColumn("__d3", _neg_udf()(F.col("id1"), F.col("id2")))
+    p1 = with_draw.filter(F.col("is_positive") | (d3 <= F.lit(sample_fraction)))
     row = (
         p1.groupBy("id1", "id2")
         .agg(F.max(F.col("is_positive").cast("int")).alias("pos"))
@@ -329,13 +333,13 @@ def downsample_negatives_to_ratio(
     total, npos = row["total"], row["npos"] or 0
     if total == 0:
         # reference: 0/0 = NaN, NaN > threshold is false -> no rescale
-        return p1, sample_fraction
+        return p1.drop("__d3"), sample_fraction
     if npos <= 0:
         # reference: (total-0)/0 = Infinity triggers the rescale branch
         # with retain = fraction * (target/Infinity) = 0.0, dropping
         # EVERY negative (RelexTsvDataset.java:134-146) — with zero
         # positives the dataset comes out EMPTY, not untouched
-        return downsample_negatives(p1, 0.0, inclusive=False), 0.0
+        return p1.filter(F.col("is_positive") | (d3 < F.lit(0.0))).drop("__d3"), 0.0
     current = (total - npos) / npos
     if current > tolerance * target_ratio:
         retain = sample_fraction * (target_ratio / current)
@@ -345,37 +349,48 @@ def downsample_negatives_to_ratio(
         # equivalent only while retain < sample_fraction, and a
         # tolerance below 1 can legally push retain above it, which
         # must NOT resurrect negatives phase 1 already dropped
-        return downsample_negatives(p1, retain, inclusive=False), retain
-    return p1, sample_fraction
+        return p1.filter(F.col("is_positive") | (d3 < F.lit(retain))).drop("__d3"), retain
+    return p1.drop("__d3"), sample_fraction
 
 
 def mention_groups(labeled: DataFrame, min_mention_set: int = 2) -> DataFrame:
-    """A3 + P3 + A4 + P5: per (id1,id2) group stats, drop small groups
-    via left-anti join, collect the deduped mention set."""
-    stats = labeled.groupBy("id1", "id2").agg(
-        F.count("*").alias("n_mentions"),
+    """A3 + P3 + A4 + P5: per (id1,id2) group stats, drop small groups,
+    collect the deduped mention set.
+
+    ONE shuffle: the reference composes a count-filter anti-join (P3)
+    with a dedup-then-regroup (A4+P5), but all of it keys on the same
+    (id1, id2), so a single hash aggregation carries the pre-dedup
+    count, the positive flag, and the uniqueness-string-deduped set
+    (``collect_set`` on the RelexMention.java:172-218 uniqueness struct
+    IS the dedup — two mentions collide iff span1+span2+sentence
+    collide, and equal uniqueness strings imply equal rewritten, which
+    is a pure function of (sentence, s1, e1, s2, e2)). P3's
+    ``n_mentions >= min`` is implied by P5's ``set_size >= min`` (the
+    deduped set can't exceed the raw count); both are kept explicit."""
+    u = F.concat_ws(
+        "|", F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"), F.col("sentence")
     )
-    small = stats.filter(F.col("n_mentions") < min_mention_set).select("id1", "id2")
-    kept = labeled.join(small, ["id1", "id2"], "left_anti")
-    # dedup BEFORE grouping on the uniqueness string (span1+span2+sentence,
-    # RelexMention.java:172-218 — dropDuplicates is the cleaner equivalent)
-    uniq = kept.withColumn(
-        "__u",
-        F.concat_ws(
-            "|",
-            F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"), F.col("sentence"),
-        ),
-    ).dropDuplicates(["id1", "id2", "__u"])
     grouped = (
-        uniq.groupBy("id1", "id2")
+        labeled.groupBy("id1", "id2")
         .agg(
-            F.count("*").alias("set_size"),
+            F.count("*").alias("n_mentions"),
             F.max(F.col("is_positive").cast("int")).cast("boolean").alias("positive"),
-            F.sort_array(F.collect_list(F.col("rewritten"))).alias("contexts"),
+            F.collect_set(
+                F.struct(u.alias("u"), F.col("rewritten").alias("rewritten"))
+            ).alias("__uset"),
         )
-        .filter(F.col("set_size") >= min_mention_set)
+        .withColumn("set_size", F.size("__uset"))
+        .filter(
+            (F.col("n_mentions") >= min_mention_set)
+            & (F.col("set_size") >= min_mention_set)
+        )
+        .withColumn(
+            "contexts",
+            F.sort_array(F.transform("__uset", lambda x: x["rewritten"])),
+        )
+        .drop("__uset", "n_mentions")
     )
-    return grouped
+    return grouped.select("id1", "id2", "set_size", "positive", "contexts")
 
 
 def sanitize_tsv(col):
