@@ -3,8 +3,9 @@
 Default: run the headline query suite at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the crawl
 scheduling-round throughput job, and — unless SPARK_GRAFT_BENCH_SCALING=0
-— the two-parallelism scaling evidence (same job, same input, local[8]
-vs local[32]; the sandbox stand-in for N vs 4N executors per BASELINE.md).
+— the two-parallelism scaling evidence (same job, same input, local[1]
+vs local[4] per SCALE_CORES below; the sandbox stand-in for N vs 4N
+executors per BASELINE.md).
 
   python bench.py                  # full bench, one JSON line
   python bench.py --crawl-only --cores 8   # one scaling probe (subprocess)
