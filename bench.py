@@ -186,7 +186,7 @@ def _control_mops(n: int = 2_000_000) -> float:
 
 
 def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
-                   rounds: int = 5) -> None:
+                   rounds: int = 5, guard: float = 1.5) -> None:
     # heap proportional to cores, mirroring a real cluster where 4N
     # executors bring 4x aggregate memory: a fixed shared heap makes the
     # wide side pay 4x the GC pressure per unit work, an artifact of the
@@ -220,10 +220,17 @@ def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
     # an uncontrolled probe read as a 2.8x regression): one 1-core
     # control before/after every timed round, median reported with the
     # probe so readers can normalize
+    # three interleaved controls per round: ALU Mops (scalar CPU),
+    # steady-state copy GB/s (memory bus), first-touch fault GB/s
+    # (host page population) — each catches a distinct degradation
+    # mode this multi-tenant VM actually exhibits
     runs, controls = [], [_control_mops()]
+    membws, faults = [_membw_gbs()], [_fault_gbs()]
     for _ in range(rounds):
         runs.append(crawl_round_bench(spark, n_urls))
         controls.append(_control_mops())
+        membws.append(_membw_gbs())
+        faults.append(_fault_gbs())
 
     def _spread(rs):
         els = [r["elapsed_s"] for r in rs]
@@ -248,10 +255,17 @@ def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
     # window is tight — guarding on the CORE spread stops early once
     # the median has settled instead of burning all 3 extras chasing a
     # single unremovable outlier
+    # `guard` is the core-spread ceiling: 1.5 for headline probes; the
+    # scaling probes pass 1.3 (a burst on ONE side of an N-vs-4N pair
+    # skews the ratio itself, so their medians deserve a tighter
+    # supporting window — extra rounds there are cheap on the 4N side
+    # and the 1-core side rarely triggers, its rounds are long and calm)
     extra = 0
-    while _core_spread(runs) > 1.5 and extra < 3:
+    while _core_spread(runs) > guard and extra < 3:
         runs.append(crawl_round_bench(spark, n_urls))
         controls.append(_control_mops())
+        membws.append(_membw_gbs())
+        faults.append(_fault_gbs())
         extra += 1
     import statistics
 
@@ -267,6 +281,10 @@ def run_crawl_only(cores: int, n_urls: int = CRAWL_N_URLS,
     ctrl = statistics.median(controls)
     res["cpu_control_mops"] = round(ctrl, 1)
     res["cpu_control_raw"] = controls
+    res["membw_control_gbs"] = round(statistics.median(membws), 2)
+    res["membw_control_raw"] = membws
+    res["fault_control_gbs"] = round(statistics.median(faults), 2)
+    res["fault_control_raw"] = faults
     res["elapsed_norm_s"] = round(med * ctrl / NOMINAL_MOPS_1CORE, 3)
     res["candidates_per_sec_norm"] = round(
         res["n_candidates"] / res["elapsed_norm_s"], 1
@@ -282,24 +300,128 @@ def _burn(n):
     return x
 
 
-def _cpu_control(workers_list=(1, 8, 32)) -> dict:
-    """Pure-CPU multiprocessing control: the machine's own parallel
-    speedup ceiling (turbo/scheduler), independent of Spark."""
+_MEMBW_BUF = None
+
+
+def _membw_gbs(nbytes: int = 256 * 1024 * 1024, copies: int = 3) -> float:
+    """Streaming memory-bandwidth control (GB/s copied, median of
+    `copies` big-array copies). The ALU burn (`_control_mops`) is blind
+    to the resource a shuffle/sort/cache engine saturates first: a
+    stretch can read 'CPU above nominal' while every Spark query runs
+    1.5x slow because another tenant is hammering the memory bus. Two
+    controls together make that attributable. Buffers are cached and
+    pre-faulted so the timed window is copies only."""
+    import statistics
+
+    import numpy as np
+
+    global _MEMBW_BUF
+    if _MEMBW_BUF is None or _MEMBW_BUF[0].nbytes != nbytes:
+        src = np.ones(nbytes, dtype=np.uint8)
+        dst = np.empty_like(src)
+        dst[:] = src  # fault dst pages in outside the timed window
+        _MEMBW_BUF = (src, dst)
+    src, dst = _MEMBW_BUF
+    times = []
+    for _ in range(copies):
+        t0 = time.time()
+        dst[:] = src
+        times.append(time.time() - t0)
+    return round(nbytes / statistics.median(times) / 1e9, 2)
+
+
+def _fault_gbs(nbytes: int = 128 * 1024 * 1024) -> float:
+    """First-touch page-fault rate (GB/s): alloc + populate a fresh
+    buffer. Healthy hosts fault several GB/s; this VM has been observed
+    at 0.17 GB/s (host-level lazy population / ballooning) — a stretch
+    where STEADY-STATE copy runs 9 GB/s and the ALU burn reads above
+    nominal, yet every Spark query runs 1.5x slow, because JVM heap
+    growth, shuffle buffers, and fresh Python workers all pay the
+    fault path. The third control that makes those stretches legible."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.ones(nbytes, dtype=np.uint8)
+    el = time.time() - t0
+    del a
+    return round(nbytes / el / 1e9, 2)
+
+
+_MEMBW_WORKER_BUF = None
+
+
+def _membw_worker(nbytes: int) -> float:
+    """Per-worker aggregate-copy throughput (bytes/s), timed INSIDE the
+    worker so pool fork/startup never pollutes the reading; buffers are
+    cached in a worker-process global so only the first map call per
+    pool pays the fault-in (which can cost seconds on this VM)."""
+    import numpy as np
+
+    global _MEMBW_WORKER_BUF
+    if _MEMBW_WORKER_BUF is None or _MEMBW_WORKER_BUF[0].nbytes != nbytes:
+        src = np.ones(nbytes, dtype=np.uint8)
+        dst = np.empty_like(src)
+        dst[:] = src  # warm + fault-in
+        _MEMBW_WORKER_BUF = (src, dst)
+    src, dst = _MEMBW_WORKER_BUF
+    copies = 4
+    t0 = time.time()
+    for _ in range(copies):
+        dst[:] = src
+    return copies * nbytes / (time.time() - t0)
+
+
+def _membw_control(workers_list=(1, 8, 32),
+                   nbytes: int = 128 * 1024 * 1024) -> dict:
+    """Parallel streaming-bandwidth ceiling: aggregate copy GB/s at w
+    concurrent copiers (median of 3). This is the control that explains
+    the wide-side scaling envelope — on this box bandwidth peaks near 8
+    workers and REGRESSES by 32, which bounds any data engine's N->4N
+    ratio long before its own coordination does."""
     import multiprocessing as mp
+    import statistics
 
     out = {}
-    n = 4_000_000
     for w in workers_list:
-        t0 = time.time()
+        reps = []
         with mp.Pool(w) as p:
-            p.map(_burn, [n] * w)
-        el = time.time() - t0
-        out[str(w)] = round(w * n / el / 1e6, 1)  # M ops/s aggregate
+            for _ in range(3):
+                rates = p.map(_membw_worker, [nbytes] * w)
+                reps.append(sum(rates) / 1e9)
+        out[str(w)] = round(statistics.median(reps), 1)
+    return out
+
+
+def _cpu_control(workers_list=(1, 8, 32)) -> dict:
+    """Pure-CPU multiprocessing control: the machine's own parallel
+    speedup ceiling (turbo/scheduler), independent of Spark.
+
+    The timed window covers ONLY the burn map on an already-warm pool:
+    Pool(w) fork/startup ran >1 s on a cold-cache box, which at the old
+    4M-op work unit (~0.2 s) drowned the 1-worker measurement 6x and
+    produced physically impossible super-unity parallel efficiencies
+    (per-worker throughput at w>1 "exceeding" 1-worker throughput) —
+    poisoning the CPU-normalized scaling annotation derived from it."""
+    import multiprocessing as mp
+    import statistics
+
+    out = {}
+    n = 16_000_000  # ~1 s/worker: startup jitter is noise, not signal
+    for w in workers_list:
+        reps = []
+        with mp.Pool(w) as p:
+            p.map(_burn, [100_000] * w)  # warm the forked workers
+            for _ in range(3):  # median-of-3: single reps swing 1.4x
+                t0 = time.time()
+                p.map(_burn, [n] * w)
+                el = time.time() - t0
+                reps.append(w * n / el / 1e6)
+        out[str(w)] = round(statistics.median(reps), 1)  # M ops/s aggregate
     return out
 
 
 def _one_crawl_probe(cores: int, n_urls: int = CRAWL_N_URLS,
-                     rounds: int = 5) -> dict | None:
+                     rounds: int = 5, guard: float = 1.5) -> dict | None:
     # timeout scales with probe size and round count — including the up
     # to 3 EXTRA rounds run_crawl_only's spread guard may add under the
     # very contention this budget exists to survive; expiry returns
@@ -309,7 +431,8 @@ def _one_crawl_probe(cores: int, n_urls: int = CRAWL_N_URLS,
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--crawl-only", "--cores", str(cores),
-             "--urls", str(n_urls), "--rounds", str(rounds)],
+             "--urls", str(n_urls), "--rounds", str(rounds),
+             "--guard", str(guard)],
             capture_output=True, text=True, timeout=budget,
         )
     except subprocess.TimeoutExpired:
@@ -340,7 +463,7 @@ def run_scaling() -> dict:
         for cores in (n, n4):
             # 3 rounds/probe here (2 interleaved pairs already give 6
             # samples per side); 5-round medians are for the headline
-            r = _one_crawl_probe(cores, rounds=3)
+            r = _one_crawl_probe(cores, rounds=3, guard=1.3)
             if r is None:
                 return {"error": "probe produced no CRAWLBENCH line"}
             raw[cores].extend(r["all_runs_s"])
@@ -356,15 +479,26 @@ def run_scaling() -> dict:
         del s["all_runs_s"]
         sides[cores] = s
     eff = sides[n4]["candidates_per_sec"] / sides[n]["candidates_per_sec"] / 4.0
+    # min-based twin: each side's FASTEST round is its least-contended
+    # observation on shared hardware, so min/min is the efficiency
+    # estimate with the least tenant noise in it (standard microbench
+    # practice). Annotation only — the median stays the contract number.
+    eff_min = min(raw[n]) / (4.0 * min(raw[n4]))
     with open("/proc/loadavg") as f:
         load = f.read().split()[:3]
     cpu = _cpu_control((n, n4, 32))
+    membw = _membw_control((n, n4, 32))
+    fault = _fault_gbs()
     # the same N->4N ratio for a pure-CPU workload on this VM: the
     # platform's own parallel ceiling (multi-tenant turbo/scheduler).
     # efficiency normalized by it isolates what the JOB loses to
     # coordination/shuffle from what any perfectly-parallel work loses
-    # to the shared hardware.
+    # to the shared hardware. Per-worker throughput at 4 workers cannot
+    # physically exceed 1-worker throughput on shared cores, so a
+    # super-unity reading means the 1-worker side of the CONTROL was
+    # degraded — clamp to 1.0 for normalization (raw ratio recorded).
     cpu_eff = (cpu[str(n4)] / cpu[str(n)]) / 4.0 if cpu.get(str(n)) else None
+    cpu_eff_clamped = min(cpu_eff, 1.0) if cpu_eff else None
     return {
         "n_urls": CRAWL_N_URLS,
         "protocol": f"median of {SCALE_PAIRS} interleaved pairs x 3 rounds/probe",
@@ -372,10 +506,17 @@ def run_scaling() -> dict:
         f"local{n4}": sides[n4],
         "speedup_n_to_4n": round(eff * 4.0, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_min_based": round(eff_min, 3),
         "cpu_control_mops": cpu,
+        "membw_control_gbs": membw,
+        "membw_parallel_efficiency_n_to_4n": (
+            round((membw[str(n4)] / membw[str(n)]) / 4.0, 3)
+            if membw.get(str(n)) else None
+        ),
+        "fault_control_gbs": fault,
         "cpu_control_parallel_efficiency": round(cpu_eff, 3) if cpu_eff else None,
         "scaling_efficiency_cpu_normalized": (
-            round(min(eff / cpu_eff, 1.0), 3) if cpu_eff else None
+            round(min(eff / cpu_eff_clamped, 1.0), 3) if cpu_eff_clamped else None
         ),
         "loadavg_after": load,
     }
@@ -392,7 +533,11 @@ def main() -> None:
             int(sys.argv[sys.argv.index("--rounds") + 1])
             if "--rounds" in sys.argv else 5
         )
-        run_crawl_only(cores, n_urls, rounds)
+        guard = (
+            float(sys.argv[sys.argv.index("--guard") + 1])
+            if "--guard" in sys.argv else 1.5
+        )
+        run_crawl_only(cores, n_urls, rounds, guard)
         return
 
     import __spark_entry__ as entry
@@ -404,11 +549,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_norm: dict[str, float] = {}
     query_controls: dict[str, float] = {}
+    query_membw: dict[str, float] = {}
+    suite_fault_start = _fault_gbs()
     t_suite = time.time()
     for name in BENCH_QUERIES:
-        # per-query interleaved 1-core control (r4 verdict): ~0.15 s
-        # each; lets a reader separate tenant bursts from regressions
+        # per-query interleaved controls (r4 verdict): ALU ~0.15 s +
+        # cached-buffer copy ~0.05 s each; lets a reader separate
+        # tenant CPU bursts AND memory-bus contention from regressions
         ctrl = _control_mops()
+        query_membw[name] = _membw_gbs()
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         el = round(time.time() - t0, 3)
@@ -452,6 +601,11 @@ def main() -> None:
         # multi-tenant box; raw stays the contract number
         "queries_norm": timings_norm,
         "query_cpu_controls_mops": query_controls,
+        "query_membw_controls_gbs": query_membw,
+        "suite_fault_control_gbs": {
+            "start": suite_fault_start,
+            "end": _fault_gbs(),
+        },
         "nominal_mops_1core": NOMINAL_MOPS_1CORE,
         "sf": float(pathlib.Path(SF_DIR).name.replace("sf", "") or 0.1),
         "crawl_throughput": crawl,
