@@ -513,6 +513,16 @@ def run_scaling() -> dict:
             round((membw[str(n4)] / membw[str(n)]) / 4.0, 3)
             if membw.get(str(n)) else None
         ),
+        # how the JOB's N->4N ratio compares with the platform's own
+        # streaming-bandwidth N->4N ratio measured in the same window —
+        # on a single shared memory bus a shuffle/sort engine cannot
+        # out-scale the bus (real clusters add a bus per executor, this
+        # sandbox does not); >= 1.0 means the job scales at the
+        # hardware's achievable ceiling. Annotation only.
+        "scaling_efficiency_vs_membw_ceiling": (
+            round(eff / ((membw[str(n4)] / membw[str(n)]) / 4.0), 3)
+            if membw.get(str(n)) else None
+        ),
         "fault_control_gbs": fault,
         "cpu_control_parallel_efficiency": round(cpu_eff, 3) if cpu_eff else None,
         "scaling_efficiency_cpu_normalized": (
