@@ -1,0 +1,132 @@
+"""Opt-in deep-fuzz differentials — set ``CCDBP_DEEP_FUZZ=1`` to run.
+
+Skipped by default: the standard suite already pins each seam with
+fast differentials (2 frontier seeds, 60 gazetteer trials, JDK golden
+vectors in ``tools/golden_vectors.tsv``); this module widens those
+same checks by 1-2 orders of magnitude (~7 min total) for pre-release
+confidence sweeps:
+
+* the fused single-shuffle scheduling round vs the reference
+  composition over 38 MORE random frontier/robots/credit configs
+  (seeds 0-39 minus the suite's pinned 3/17);
+* the indexed gazetteer matcher vs the naive oracle over 2000 random
+  entry-set/text trials (50 RNG seeds x 40 trials);
+* the deterministic-draw parity kernels vs the LIVE JVM over 5000
+  random strings (non-BMP code points, surrogate pairs, control
+  chars) — hashCode (both impls), SHA1-head nextDouble, the
+  learning-curve draw, and nextInt(8)/nextInt(7), all bit-exact
+  (requires ``javac``; skipped when absent).
+
+All three were run green in the round-5 closing session (recorded in
+COVERAGE.md).
+"""
+import os
+import random
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+DEEP = os.environ.get("CCDBP_DEEP_FUZZ") == "1"
+pytestmark = pytest.mark.skipif(not DEEP, reason="set CCDBP_DEEP_FUZZ=1")
+
+
+@pytest.mark.parametrize("seed", [s for s in range(40) if s not in (3, 17)])
+def test_fused_round_differential_wide(spark, seed):
+    from tests.test_frontier import test_fused_randomized_differential as body
+
+    body(spark, seed)
+
+
+def test_gazetteer_index_vs_naive_wide():
+    from cc_dbp_spark.operators import gazetteer as gaz
+    from tests.test_gazetteer import _random_entries, _random_text
+
+    for seed in range(50):
+        rng = random.Random(seed)
+        for trial in range(40):
+            entries = _random_entries(rng, rng.randint(1, 12))
+            idx = gaz.GazetteerIndex(entries)
+            text = _random_text(rng)
+            toks, _, _ = gaz.tokenize_with_offsets(text)
+            assert sorted(idx.match_tokens(toks)) == sorted(
+                gaz.naive_match(entries, text)
+            ), f"seed {seed} trial {trial}: {entries} / {text!r}"
+
+
+_JAVA_FUZZ = r"""
+import java.nio.charset.StandardCharsets;
+import java.security.MessageDigest;
+import java.util.Random;
+
+public class FuzzVectors {
+    static double prand(String s) throws Exception {
+        MessageDigest md = MessageDigest.getInstance("SHA-1");
+        byte[] d = md.digest(s.getBytes(StandardCharsets.UTF_8));
+        long v = java.nio.ByteBuffer.wrap(d).getLong();
+        return new Random(v).nextDouble();
+    }
+    public static void main(String[] a) throws Exception {
+        Random r = new Random(20260820L);
+        StringBuilder sb = new StringBuilder();
+        for (int i = 0; i < 5000; i++) {
+            int len = r.nextInt(40);
+            sb.setLength(0);
+            for (int j = 0; j < len; j++) {
+                int mode = r.nextInt(10);
+                int cp;
+                if (mode < 5) cp = 0x20 + r.nextInt(0x5f);
+                else if (mode < 7) cp = 0xA0 + r.nextInt(0x2000);
+                else if (mode < 8) cp = 0x4E00 + r.nextInt(0x5000);
+                else if (mode < 9) cp = 0x10000 + r.nextInt(0x10000);
+                else cp = r.nextInt(0x20);
+                if (cp == 0x09 || cp == 0x0A || cp == 0x0D) cp = 0x20;
+                sb.appendCodePoint(cp);
+            }
+            String s = sb.toString();
+            byte[] b = s.getBytes(StandardCharsets.UTF_8);
+            StringBuilder hex = new StringBuilder();
+            for (byte x : b) hex.append(String.format("%02x", x));
+            System.out.println(hex + "\t" + s.hashCode() + "\t" + prand(s)
+                + "\t" + new Random(s.hashCode() + 123321).nextDouble()
+                + "\t" + new Random(s.hashCode()).nextInt(8)
+                + "\t" + new Random(s.hashCode()).nextInt(7));
+        }
+    }
+}
+"""
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="needs a JDK")
+def test_parity_kernels_vs_live_jvm_wide():
+    import numpy as np
+    import pandas as pd
+
+    from cc_dbp_spark.functions import parity as P
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "FuzzVectors.java")
+        with open(src, "w") as f:
+            f.write(_JAVA_FUZZ)
+        subprocess.run(["javac", "FuzzVectors.java"], cwd=d, check=True)
+        out = subprocess.run(
+            ["java", "FuzzVectors"], cwd=d, check=True, capture_output=True, text=True
+        ).stdout
+    strings, cols = [], ([], [], [], [], [])
+    for line in out.splitlines():
+        h, jhc, jpr, jlc, jn8, jn7 = line.split("\t")
+        strings.append(bytes.fromhex(h).decode("utf-8"))
+        for c, v in zip(cols, (int(jhc), float(jpr), float(jlc), int(jn8), int(jn7))):
+            c.append(v)
+    hc, pr, lc, n8, n7 = (np.array(c) for c in cols)
+    assert len(strings) == 5000
+    np.testing.assert_array_equal(P.java_string_hashcode(strings), hc)
+    np.testing.assert_array_equal(
+        np.asarray(P.java_string_hashcode_fast(pd.Series(strings))), hc
+    )
+    # doubles compared EXACTLY: the kernel claims bit-parity, not closeness
+    np.testing.assert_array_equal(P.pseudo_random_from_string(strings), pr)
+    np.testing.assert_array_equal(P.learning_curve_position(strings), lc)
+    np.testing.assert_array_equal(P.partition_assignment(strings, 8), n8)
+    np.testing.assert_array_equal(P.partition_assignment(strings, 7), n7)
