@@ -15,7 +15,10 @@ confidence sweeps:
   random strings (non-BMP code points, surrogate pairs, control
   chars) — hashCode (both impls), SHA1-head nextDouble, the
   learning-curve draw, and nextInt(8)/nextInt(7), all bit-exact
-  (requires ``javac``; skipped when absent).
+  (requires ``javac``; skipped when absent);
+* the native-column URL canonicalizer vs its pure-Python twin over
+  50,000 adversarial piece-concatenated URLs (10 seeds x 5000 —
+  the suite's batch test uses 500).
 
 All three were run green in the round-5 closing session (recorded in
 COVERAGE.md).
@@ -53,6 +56,28 @@ def test_gazetteer_index_vs_naive_wide():
             assert sorted(idx.match_tokens(toks)) == sorted(
                 gaz.naive_match(entries, text)
             ), f"seed {seed} trial {trial}: {entries} / {text!r}"
+
+
+def test_canonicalizer_native_vs_twin_wide(spark):
+    from pyspark.sql import functions as F
+
+    from cc_dbp_spark.functions.urlnorm import canonicalize_col, canonicalize_py
+
+    pieces = [
+        "http://", "HTTPS://", "", "  ", "a b", "Host.COM", ":8080", ":80",
+        "/p//q/", "?x=1&y=2", "#frag", "ftp://x/", "%20", "ünïcode", "a#b#c",
+        "//", "?", "http://h:443/x", "https://h:443/x", "hTtP://", "user:pw@",
+        "[::1]", ".", "..", "/./", "/../", "%2F", "&", "=", ";", "~", "中文",
+        "%", "%zz", "?a=%3D", "xn--", "256.1.1.1", "host.", ":0", ":65536", "\t",
+    ]
+    for seed in range(10):
+        rng = random.Random(seed)
+        urls = ["".join(rng.choices(pieces, k=rng.randint(1, 8))) for _ in range(5000)]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [r.c for r in df.select(canonicalize_col(F.col("url")).alias("c")).collect()]
+        want = [canonicalize_py(u) for u in urls]
+        mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
+        assert not mism, (seed, mism[:5])
 
 
 _JAVA_FUZZ = r"""
