@@ -18,7 +18,11 @@ confidence sweeps:
   (requires ``javac``; skipped when absent);
 * the native-column URL canonicalizer vs its pure-Python twin over
   50,000 adversarial piece-concatenated URLs (10 seeds x 5000 —
-  the suite's batch test uses 500).
+  the suite's batch test uses 500);
+* BOTH connected-components implementations (min-label propagation
+  AND Kiveris large-star/small-star contraction) vs a union-find
+  ground truth over 12 random graphs with adversarial chain
+  segments stitched in.
 
 All three were run green in the round-5 closing session (recorded in
 COVERAGE.md).
@@ -78,6 +82,52 @@ def test_canonicalizer_native_vs_twin_wide(spark):
         want = [canonicalize_py(u) for u in urls]
         mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
         assert not mism, (seed, mism[:5])
+
+
+def _uf_truth(edges):
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_connected_components_vs_union_find_wide(spark):
+    from cc_dbp_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = rng.randint(5, 120)
+        nodes = [f"d{i:04d}" for i in range(n)]
+        edges = set()
+        for _ in range(rng.randint(1, 3 * n)):
+            a, b = rng.sample(nodes, 2)
+            edges.add((a, b))
+        # adversarial chain: long diameter, where min-label propagation
+        # needs many rounds and the star contraction must still agree
+        chain = rng.sample(nodes, min(n, rng.randint(2, 60)))
+        edges.update(zip(chain, chain[1:]))
+        edges = sorted(edges)
+        want = _uf_truth(edges)
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        for fn in (connected_components, connected_components_star):
+            got = {r["id"]: r["comp"] for r in fn(df, max_iter=100).collect()}
+            assert got == want, (fn.__name__, seed)
 
 
 _JAVA_FUZZ = r"""
