@@ -22,7 +22,11 @@ confidence sweeps:
 * BOTH connected-components implementations (min-label propagation
   AND Kiveris large-star/small-star contraction) vs a union-find
   ground truth over 12 random graphs with adversarial chain
-  segments stitched in.
+  segments stitched in;
+* ``ngram_jaccard_pairs`` (BOTH the prefix-filtered scale path and
+  the plain inverted-index path) vs brute-force pairwise Jaccard
+  over 8 random near-dup corpora at thresholds 0.3-0.9 — the
+  prefix filter's exactness claim, checked empirically.
 
 All three were run green in the round-5 closing session (recorded in
 COVERAGE.md).
@@ -82,6 +86,59 @@ def test_canonicalizer_native_vs_twin_wide(spark):
         want = [canonicalize_py(u) for u in urls]
         mism = [(u, g, w) for u, g, w in zip(urls, got, want) if g != w]
         assert not mism, (seed, mism[:5])
+
+
+_JAC_WORDS = [
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+    "iota", "kappa", "the", "a", "of", "and", "crawl", "spark", "url",
+    "host", "page", "data",
+]
+
+
+def test_ngram_jaccard_vs_brute_force_wide(spark):
+    import itertools
+
+    from cc_dbp_spark.operators.dedup import ngram_jaccard_pairs
+
+    def shingles(text, k):
+        toks = text.split()
+        return {
+            " ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))
+        } or {text}
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        docs, i = [], 0
+        for _ in range(rng.randint(4, 12)):
+            b = " ".join(rng.choices(_JAC_WORDS, k=rng.randint(3, 25)))
+            docs.append((f"x{i:03d}", b))
+            i += 1
+            for _ in range(rng.randint(0, 3)):  # near-dup mutations
+                toks = b.split()
+                for _ in range(rng.randint(0, 2)):
+                    toks[rng.randrange(len(toks))] = rng.choice(_JAC_WORDS)
+                docs.append((f"x{i:03d}", " ".join(toks)))
+                i += 1
+        thr = rng.choice([0.3, 0.5, 0.7, 0.9])
+        k = rng.choice([2, 3])
+        sh = {d: shingles(t, k) for d, t in docs}
+        want = {}
+        for (d1, _), (d2, _) in itertools.combinations(docs, 2):
+            a, b = sh[d1], sh[d2]
+            j = len(a & b) / len(a | b)
+            if j >= thr:
+                want[tuple(sorted((d1, d2)))] = round(j, 6)
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        for pf in (True, False):
+            got = {}
+            for r in ngram_jaccard_pairs(
+                df, k=k, threshold=thr, prefix_filter=pf
+            ).collect():
+                d = r.asDict()
+                ids = sorted(v for v in d.values() if isinstance(v, str))
+                jv = next(v for v in d.values() if isinstance(v, float))
+                got[tuple(ids)] = round(jv, 6)
+            assert got == want, (seed, pf, thr, k)
 
 
 def _uf_truth(edges):
