@@ -26,7 +26,10 @@ confidence sweeps:
 * ``ngram_jaccard_pairs`` (BOTH the prefix-filtered scale path and
   the plain inverted-index path) vs brute-force pairwise Jaccard
   over 8 random near-dup corpora at thresholds 0.3-0.9 — the
-  prefix filter's exactness claim, checked empirically.
+  prefix filter's exactness claim, checked empirically;
+* ``simhash_near_dups`` (uncapped) vs brute-force popcount over 10
+  random 64-bit code sets with planted near-dup clusters at
+  max_hamming 1-3 — the block-rotation pigeonhole exactness claim.
 
 All three were run green in the round-5 closing session (recorded in
 COVERAGE.md).
@@ -139,6 +142,43 @@ def test_ngram_jaccard_vs_brute_force_wide(spark):
                 jv = next(v for v in d.values() if isinstance(v, float))
                 got[tuple(ids)] = round(jv, 6)
             assert got == want, (seed, pf, thr, k)
+
+
+def test_simhash_block_rotation_vs_brute_force_wide(spark):
+    import itertools
+
+    from cc_dbp_spark.operators.dedup import simhash_near_dups
+
+    def to_i64(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        codes, i = {}, 0
+        for _ in range(rng.randint(10, 80)):
+            base = rng.getrandbits(64)
+            codes[f"s{i:03d}"] = base
+            i += 1
+            for _ in range(rng.randint(0, 3)):  # planted near-dups
+                mut = base
+                for _ in range(rng.randint(0, 5)):
+                    mut ^= 1 << rng.randrange(64)
+                codes[f"s{i:03d}"] = mut
+                i += 1
+        maxh = rng.choice([1, 2, 3])
+        want = {
+            tuple(sorted((d1, d2)))
+            for (d1, c1), (d2, c2) in itertools.combinations(codes.items(), 2)
+            if bin(c1 ^ c2).count("1") <= maxh
+        }
+        df = spark.createDataFrame(
+            [(d, to_i64(c)) for d, c in codes.items()], "doc_id string, simhash long"
+        )
+        got = set()
+        for r in simhash_near_dups(df, max_hamming=maxh, max_bucket=None).collect():
+            d = r.asDict()
+            got.add(tuple(sorted(v for v in d.values() if isinstance(v, str))))
+        assert got == want, (seed, maxh)
 
 
 def _uf_truth(edges):
