@@ -29,7 +29,10 @@ confidence sweeps:
   prefix filter's exactness claim, checked empirically;
 * ``simhash_near_dups`` (uncapped) vs brute-force popcount over 10
   random 64-bit code sets with planted near-dup clusters at
-  max_hamming 1-3 — the block-rotation pigeonhole exactness claim.
+  max_hamming 1-3 — the block-rotation pigeonhole exactness claim;
+* ``ivf_topk``'s hot-cell re-split result-identity claim: max_cell
+  ``"auto"`` == ``None`` == a tight int cap, value-exact top-k over
+  6 skewed corpora (half the vectors in one tight cluster).
 
 All three were run green in the round-5 closing session (recorded in
 COVERAGE.md).
@@ -179,6 +182,43 @@ def test_simhash_block_rotation_vs_brute_force_wide(spark):
             d = r.asDict()
             got.add(tuple(sorted(v for v in d.values() if isinstance(v, str))))
         assert got == want, (seed, maxh)
+
+
+def test_ivf_cell_cap_result_identity_wide(spark):
+    import numpy as np
+
+    from cc_dbp_spark.operators.similarity import ivf_topk
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n, d, nq = int(rng.integers(60, 300)), 8, int(rng.integers(3, 10))
+        # skewed corpus: half the vectors in one tight cluster (hot cell)
+        hot = rng.normal(0, 0.01, (n // 2, d)) + rng.normal(0, 1, (1, d))
+        rest = rng.normal(0, 1, (n - n // 2, d))
+        X = np.vstack([hot, rest])
+        emb = spark.createDataFrame(
+            [(f"v{i:04d}", [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id string, embedding array<double>",
+        )
+        Q = rng.normal(0, 1, (nq, d))
+        qdf = spark.createDataFrame(
+            [(f"q{i:02d}", [float(x) for x in Q[i]]) for i in range(nq)],
+            "query_id string, embedding array<double>",
+        )
+        kw = dict(k=5, n_centroids=8, n_probe=3, seed=7)
+
+        def norm(df):
+            out = []
+            for r in df.collect():
+                row = r.asDict()
+                score = next(v for v in row.values() if isinstance(v, float))
+                out.append((row["query_id"], row["vec_id"], round(score, 9)))
+            return sorted(out)
+
+        a = norm(ivf_topk(emb, qdf, max_cell="auto", **kw))
+        b = norm(ivf_topk(emb, qdf, max_cell=None, **kw))
+        c = norm(ivf_topk(emb, qdf, max_cell=7, **kw))
+        assert a == b == c, seed
 
 
 def _uf_truth(edges):
